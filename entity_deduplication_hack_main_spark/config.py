@@ -1,0 +1,74 @@
+"""Dedup pipeline configuration.
+
+The reference hard-codes its knobs in driver scripts
+(``Run_Sembedding.py:25-33``: threshold=0.6, top_k=5, filter_literals=True;
+adaptive thresholds ``similarity_utils.py:49-54``). We centralize them in one
+dataclass so the same config drives the batch pipeline, the SQL-oracle
+queries, and the pytest golden suite — the BASELINE.json north_rule requires
+"the same shingle/signature config" across engine and reference comparison.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+# Mersenne prime 2^31 - 1. Every shingle hash / permutation coefficient /
+# signature value lives in [0, P31). Keeping values under 2^31 means
+# a*h + b < 2^62 is exact in BOTH numpy uint64 (pandas-UDF kernels) and
+# signed 64-bit SQL integers (Spark BIGINT, DuckDB BIGINT) — which is what
+# makes the DuckDB oracle byte-reproducible against the Arrow kernels.
+P31 = 2_147_483_647
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    """Knobs for the MinHash/SimHash/suffix-array dedup pipeline."""
+
+    # --- shingling -------------------------------------------------------
+    shingle_k: int = 5          # words per shingle (web pages)
+    # --- MinHash ---------------------------------------------------------
+    num_perms: int = 128        # signature length (north_star: 128)
+    bands: int = 32             # LSH bands
+    rows_per_band: int = 4      # rows per band; bands*rows == num_perms
+    seed: int = 69              # reference's global seed (embedding_utils.py:94)
+    # --- verification thresholds (duplicate taxonomy, output_utils.py:60-73)
+    jaccard_near_exact: float = 0.9   # near-exact if J >= 0.9
+    jaccard_similar: float = 0.7      # similar if J >= 0.7
+    jaccard_candidate: float = 0.5    # below this a candidate is "conflict"
+    # --- SimHash channel -------------------------------------------------
+    simhash_bits: int = 64
+    simhash_blocks: int = 4     # Hamming-ball block index (4 x 16-bit keys)
+    hamming_radius: int = 3     # near-exact if Hamming distance <= r
+    # --- skew handling ---------------------------------------------------
+    max_bucket_size: int = 2000   # LSH buckets larger than this are salted
+    salt_chunk: int = 256         # member-chunk size for salted pair gen
+    # --- clustering ------------------------------------------------------
+    max_cc_iterations: int = 50   # union-find safety cap (O(log n) expected)
+
+    def __post_init__(self) -> None:
+        if self.bands * self.rows_per_band != self.num_perms:
+            raise ValueError(
+                f"bands*rows_per_band ({self.bands}*{self.rows_per_band}) "
+                f"must equal num_perms ({self.num_perms})"
+            )
+
+    # --- derived, deterministic permutation table ------------------------
+    def permutations(self) -> tuple[np.ndarray, np.ndarray]:
+        """(a, b) coefficient vectors for sig_i = min((a_i*h + b_i) mod P31).
+
+        Seeded PCG64 — identical on every executor, every run, and inlined
+        verbatim into the DuckDB oracle SQL (functions/minhash.py).
+        """
+        rng = np.random.default_rng(self.seed)
+        a = rng.integers(1, P31, size=self.num_perms, dtype=np.uint64)
+        b = rng.integers(0, P31, size=self.num_perms, dtype=np.uint64)
+        return a, b
+
+
+DEFAULT_CONFIG = DedupConfig()
+
+# Smaller config for word-salad driver testdata (documents.parquet texts are
+# ~30-80 tokens; 3-word shingles give usable Jaccard resolution there).
+TESTDATA_CONFIG = DedupConfig(shingle_k=3, num_perms=32, bands=8, rows_per_band=4)

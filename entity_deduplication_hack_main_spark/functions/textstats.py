@@ -1,0 +1,102 @@
+"""Text-analysis functions for training-data pipelines.
+
+Beyond-reference capabilities required at 100 TB: language-ID heuristic,
+quality scoring, token counting, and document fingerprinting — all pure JVM
+expressions with DuckDB-identical renderings for the oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from entity_deduplication_hack_main_spark.functions import textnorm
+
+# Tiny deterministic stopword lists per language for the n-gram/stopword
+# language-ID heuristic. Public knowledge (most frequent function words).
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "den"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "des", "du", "que"),
+    "es": ("el", "la", "los", "las", "es", "un", "una", "que", "por", "con"),
+    "nl": ("de", "het", "een", "en", "van", "is", "dat", "niet", "met", "zijn"),
+}
+
+
+def token_count(text: Column) -> Column:
+    return textnorm.token_count(textnorm.normalize(text))
+
+
+def distinct_token_count(text: Column) -> Column:
+    return F.size(F.array_distinct(textnorm.tokens(textnorm.normalize(text))))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords of *lang*."""
+    toks = textnorm.tokens(textnorm.normalize(text))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    n = F.size(toks)
+    return F.when(n > 0, hits / n).otherwise(F.lit(0.0))
+
+
+def lang_scores(text: Column) -> Column:
+    """struct of per-language stopword ratios; argmax = predicted language."""
+    return F.struct(*[stopword_ratio(text, lg).alias(lg) for lg in STOPWORDS])
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are not letters/digits/whitespace."""
+    n = F.length(text)
+    stripped = F.length(F.regexp_replace(text, r"[\p{L}\p{N}\s]", ""))
+    return F.when(n > 0, stripped / n).otherwise(F.lit(0.0))
+
+
+def mean_token_len(text: Column) -> Column:
+    toks = textnorm.tokens(textnorm.normalize(text))
+    total = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: penalize extreme repetition, high
+    punctuation, and degenerate token lengths. Deterministic, documented."""
+    tc = token_count(text)
+    rep = F.when(tc > 0, distinct_token_count(text) / tc).otherwise(F.lit(0.0))
+    pr = punct_ratio(text)
+    mtl = mean_token_len(text)
+    len_ok = F.when((mtl >= 2) & (mtl <= 12), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round(rep * (1.0 - pr) * len_ok, 6)
+
+
+def fingerprint(text: Column) -> Column:
+    """Normalized-content fingerprint: md5 of normalized text — the
+    boilerplate-insensitive exact-dup key."""
+    return F.md5(textnorm.normalize(text))
+
+
+# --- DuckDB renderings ---------------------------------------------------
+
+
+def sql_token_count(text: str) -> str:
+    return f"len({textnorm.sql_tokens(textnorm.sql_normalize(text))})"
+
+
+def sql_distinct_token_count(text: str) -> str:
+    return f"len(list_distinct({textnorm.sql_tokens(textnorm.sql_normalize(text))}))"
+
+
+def sql_stopword_ratio(text: str, lang: str = "en") -> str:
+    toks = textnorm.sql_tokens(textnorm.sql_normalize(text))
+    sw = "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+    return (
+        f"CASE WHEN len({toks}) > 0 THEN "
+        f"len(list_filter({toks}, t -> list_contains({sw}, t)))::DOUBLE "
+        f"/ len({toks}) ELSE 0.0 END"
+    )
+
+
+def sql_fingerprint(text: str) -> str:
+    return f"md5({textnorm.sql_normalize(text)})"

@@ -1,0 +1,171 @@
+"""LSH banding + candidate-pair generation with hot-bucket salting.
+
+Reference parity: replaces the blocked cross join (J1,
+``dedup_pipeline.py:31-48``) — the reference compares all pairs within an
+entity-type block; we compare all pairs within an LSH bucket
+``(band_id, band_hash)``. Pair keys are order-normalized with
+least/greatest exactly as the reference sorts pair tuples (J7,
+``EvaluateVariations.ipynb cell 2``).
+
+Scale design:
+- banding is pure JVM (md5 over signature slices → codegen; one
+  ``posexplode`` = bands× row inflation, no Python);
+- the candidate self-join shuffles on (band_id, band_hash); AQE skew-join
+  handles moderate skew, and buckets larger than ``config.max_bucket_size``
+  (boilerplate pages sharing a band) are *salted*: members are chunked by a
+  deterministic hash and pairs are generated per chunk-pair key
+  (blocked-cartesian), bounding any single task at ~salt_chunk² comparisons
+  while preserving the exact pair set. Deterministic → resume-safe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from entity_deduplication_hack_main_spark.config import DedupConfig
+from entity_deduplication_hack_main_spark.functions import shingles as sh
+from entity_deduplication_hack_main_spark.functions import textnorm
+
+
+def band_hashes(
+    df: DataFrame,
+    config: DedupConfig,
+    sig_col: str = "signature",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, band_id, band_hash): one row per band per doc. Pure JVM."""
+    r = config.rows_per_band
+    sig = F.col(sig_col)
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(config.bands - 1)),
+        lambda band: F.md5(
+            F.array_join(
+                F.transform(
+                    F.slice(sig, band * F.lit(r) + F.lit(1), r),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            )
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(bands).alias("band_id", "band_hash"),
+    )
+
+
+def _pairs_norm(df: DataFrame, left: str, right: str) -> DataFrame:
+    """Order-insensitive distinct pair keys (J7 least/greatest)."""
+    return df.select(
+        F.least(F.col(left), F.col(right)).alias("id1"),
+        F.greatest(F.col(left), F.col(right)).alias("id2"),
+    ).where(F.col("id1") != F.col("id2"))
+
+
+def candidate_pairs(bands: DataFrame, config: DedupConfig) -> DataFrame:
+    """Distinct (id1, id2) pairs sharing >= 1 LSH bucket, salted for skew.
+
+    bands: output of :func:`band_hashes`.
+    """
+    key = ["band_id", "band_hash"]
+    sizes = bands.groupBy(*key).agg(F.count("*").alias("bucket_n"))
+    # singleton buckets produce no pairs — drop them before the join
+    sizes = sizes.where(F.col("bucket_n") >= 2)
+    members = bands.join(sizes, key)
+
+    cold = members.where(F.col("bucket_n") <= config.max_bucket_size)
+    hot = members.where(F.col("bucket_n") > config.max_bucket_size)
+
+    a, b = cold.alias("a"), cold.alias("b")
+    cold_pairs = _pairs_norm(
+        a.join(b, key).where(F.col("a.id") < F.col("b.id")), "a.id", "b.id"
+    )
+
+    # Salted blocked-cartesian for hot buckets: member → chunk c; pair-bucket
+    # (ci, cj), ci <= cj; member plays the ci role for cj in [c, n) and the
+    # cj role for ci in [0, c]. Exact same pair set, bounded task size.
+    nch = F.ceil(F.col("bucket_n") / F.lit(config.salt_chunk)).cast("int")
+    hot_c = hot.withColumn("nch", nch).withColumn(
+        "chunk", F.pmod(F.xxhash64("id"), F.col("nch")).cast("int")
+    )
+    left = hot_c.select(
+        *key, "id", F.col("chunk").alias("ci"),
+        F.explode(F.sequence(F.col("chunk"), F.col("nch") - 1)).alias("cj"),
+    )
+    right = hot_c.select(
+        *key, F.col("id").alias("rid"), F.col("chunk").alias("cj"),
+        F.explode(F.sequence(F.lit(0), F.col("chunk"))).alias("ci"),
+    )
+    hot_pairs = _pairs_norm(
+        left.join(right, key + ["ci", "cj"]), "id", "rid"
+    )
+
+    return cold_pairs.unionByName(hot_pairs).distinct()
+
+
+def documents_to_candidates(
+    docs: DataFrame,
+    config: DedupConfig,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_strategy: str = "xxhash64",
+) -> DataFrame:
+    """text → representation kernel → bands → distinct candidate pairs."""
+    from entity_deduplication_hack_main_spark.functions import represent
+
+    sig = represent.with_representation(
+        docs, config, id_col, text_col, hash_strategy
+    ).select("id", "signature")
+    return candidate_pairs(band_hashes(sig, config, id_col="id"), config)
+
+
+# --- DuckDB oracle (unsalted — salting is a physical rewrite, the logical
+# pair set is identical) ---------------------------------------------------
+
+
+def sql_bands_from_sig(config: DedupConfig) -> str:
+    """CTE `_bands` (id, band_id, band_hash) from an existing `_sig` CTE."""
+    r = config.rows_per_band
+    return f"""
+_bands AS (
+  SELECT id, b.band_id::INT AS band_id,
+         md5(array_to_string(sig[b.band_id * {r} + 1 : b.band_id * {r} + {r}], ',')) AS band_hash
+  FROM _sig CROSS JOIN (FROM range(0, {config.bands}) t(band_id)) b
+)"""
+
+
+def sql_band_hashes(
+    config: DedupConfig,
+    doc_table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB SELECT of (id, band_id, band_hash) matching :func:`band_hashes`
+    over md5-strategy signatures from the representation kernel."""
+    from entity_deduplication_hack_main_spark.functions.represent import (
+        sql_repr_ctes,
+        sql_signature_cte,
+    )
+
+    return f"""
+WITH {sql_repr_ctes(config, doc_table, id_col, text_col)},
+{sql_signature_cte(config)},
+{sql_bands_from_sig(config)}
+SELECT id, band_id, band_hash FROM _bands
+"""
+
+
+def sql_candidate_pairs(
+    config: DedupConfig,
+    doc_table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    bands = sql_band_hashes(config, doc_table, id_col, text_col)
+    return f"""
+WITH _b AS ({bands})
+SELECT DISTINCT least(a.id, b.id) AS id1, greatest(a.id, b.id) AS id2
+FROM _b a JOIN _b b
+  ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.id < b.id
+"""

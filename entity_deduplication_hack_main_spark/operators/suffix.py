@@ -1,0 +1,136 @@
+"""Exact-substring duplicate pass via winnowing fingerprints.
+
+Reference parity: the reference finds containment-style duplicates through
+literal-field comparison (``similarity_utils.py:58-104``); the webtext
+analog (FIXTURES.md `substring_containment`) is doc B ⊂ doc A — pairs whose
+*symmetric* Jaccard can sit below the LSH threshold while containment is ~1.
+
+Algorithm (distributed suffix-fingerprint, the scalable stand-in for a
+global suffix array à la Lee et al. 2021 "Deduplicating Training Data Makes
+Language Models Better"):
+1. ordered k-word shingle hashes per doc (representation kernel,
+   functions/represent.py — rolling polynomial over token hashes);
+2. winnowing (Schleimer et al. 2003, MOSS): min hash of every window of
+   ``w`` consecutive shingles → any shared token run of length
+   >= k + w - 1 words GUARANTEES a shared fingerprint;
+3. explode fingerprints, drop globally hot ones (document-frequency cap —
+   boilerplate), self-join on fingerprint → candidate pairs;
+4. verify containment: |S1 ∩ S2| / min(|S1|, |S2|) on exact shingle sets
+   plus a verbatim substring check on normalized text.
+
+Candidate generation is JVM joins over kernel output — no per-row Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from entity_deduplication_hack_main_spark.config import DedupConfig
+from entity_deduplication_hack_main_spark.functions import represent, textnorm
+
+
+def winnow_pairs_from_payload(
+    payload: DataFrame, min_df: int = 2, max_df: int = 1000
+) -> DataFrame:
+    """Distinct (id1, id2) sharing a winnowed fingerprint.
+
+    payload: (id, winnow_fps, ...) from the representation kernel.
+    max_df: fingerprints in more than this many docs are boilerplate —
+    skipped (documented coverage cap; callers should log the drop count).
+    """
+    fps = payload.select("id", F.explode("winnow_fps").alias("wfp"))
+    dfreq = fps.groupBy("wfp").agg(F.count("*").alias("df"))
+    keep = dfreq.where((F.col("df") >= min_df) & (F.col("df") <= max_df))
+    m = fps.join(keep, "wfp")
+    return (
+        m.alias("a")
+        .join(m.alias("b"), "wfp")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
+    )
+
+
+def substring_candidate_pairs(
+    docs: DataFrame,
+    config: DedupConfig,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int = 1000,
+    hash_strategy: str = "xxhash64",
+) -> DataFrame:
+    """Standalone: docs → kernel → winnow fingerprint candidate pairs."""
+    payload = represent.with_representation(
+        docs, config, id_col, text_col, hash_strategy
+    ).select("id", "winnow_fps")
+    return winnow_pairs_from_payload(payload, max_df=max_df)
+
+
+def verify_containment(
+    pairs: DataFrame,
+    docs: DataFrame,
+    config: DedupConfig,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_strategy: str = "xxhash64",
+) -> DataFrame:
+    """(id1, id2, containment, is_substring): exact containment check.
+
+    containment = |S1 ∩ S2| / min(|S1|, |S2|) on exact shingle sets;
+    is_substring = the shorter normalized text occurs verbatim in the longer.
+    """
+    payload = represent.with_representation(
+        docs, config, id_col, text_col, hash_strategy
+    ).select("id", "shingle_set")
+    norms = docs.select(
+        F.col(id_col).alias("id"),
+        textnorm.normalize(F.col(text_col)).alias("norm"),
+    )
+    p = payload.join(norms, "id")
+    a = p.select(
+        F.col("id").alias("id1"), F.col("norm").alias("n1"),
+        F.col("shingle_set").alias("s1"),
+    )
+    b = p.select(
+        F.col("id").alias("id2"), F.col("norm").alias("n2"),
+        F.col("shingle_set").alias("s2"),
+    )
+    j = pairs.join(a, "id1").join(b, "id2")
+    inter = F.size(F.array_intersect("s1", "s2"))
+    smaller = F.least(F.size("s1"), F.size("s2"))
+    shorter = F.when(F.length("n1") <= F.length("n2"), F.col("n1")).otherwise("n2")
+    longer = F.when(F.length("n1") <= F.length("n2"), F.col("n2")).otherwise("n1")
+    return j.select(
+        "id1",
+        "id2",
+        F.round(F.when(smaller > 0, inter / smaller).otherwise(0.0), 9).alias(
+            "containment"
+        ),
+        F.contains(longer, shorter).alias("is_substring"),
+    )
+
+
+# --- DuckDB oracle -------------------------------------------------------
+
+
+def sql_winnowed_pairs(
+    config: DedupConfig,
+    doc_table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+    max_df: int = 1000,
+) -> str:
+    """DuckDB SELECT matching :func:`substring_candidate_pairs` (md5)."""
+    return f"""
+WITH {represent.sql_repr_ctes(config, doc_table, id_col, text_col)},
+_f AS (SELECT id, unnest(wn) AS wfp FROM _wn),
+_keep AS (
+  SELECT wfp FROM _f GROUP BY wfp
+  HAVING count(*) BETWEEN {min_df} AND {max_df}
+),
+_m AS (SELECT _f.id, _f.wfp FROM _f JOIN _keep USING (wfp))
+SELECT DISTINCT a.id AS id1, b.id AS id2
+FROM _m a JOIN _m b ON a.wfp = b.wfp AND a.id < b.id
+"""

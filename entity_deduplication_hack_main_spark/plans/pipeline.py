@@ -1,0 +1,143 @@
+"""End-to-end near-duplicate detection + clustering pipeline.
+
+The Spark rendering of the reference lifecycle (SURVEY.md §3.1,
+``Run_Sembedding.py`` → ``dedup_pipeline.py``):
+
+  scan → extract → represent (shingles/MinHash/SimHash/winnow)
+       → candidates (LSH bands ∪ Hamming blocks ∪ winnow fingerprints)
+       → verify (exact Jaccard / Hamming / containment)
+       → cluster (union-find) → (doc, cluster_id)
+
+Three independent recall channels feed one edge set:
+- MinHash-LSH: near-dup pairs with Jaccard >= candidate threshold,
+- SimHash Hamming <= r: near-exact pairs differing in a few tokens,
+- winnowed substring fingerprints: containment pairs (truncation /
+  superstring) whose symmetric Jaccard may sit below the LSH threshold.
+
+Every stage goes through :class:`StageCommitter` → committed parquet +
+per-partition lineage rows + resume (plans/lineage.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from entity_deduplication_hack_main_spark.config import DedupConfig
+from entity_deduplication_hack_main_spark.functions import represent
+from entity_deduplication_hack_main_spark.operators import cluster as cc
+from entity_deduplication_hack_main_spark.operators import hamming as ham
+from entity_deduplication_hack_main_spark.operators import lsh, suffix, verify
+from entity_deduplication_hack_main_spark.plans.lineage import StageCommitter
+
+
+@dataclass
+class PipelineResult:
+    payload: DataFrame       # (id, shingle_set, fp, signature, simhash)
+    candidates: DataFrame    # (id1, id2, channel)
+    verified: DataFrame      # (id1, id2, jaccard, dup_type, status)
+    edges: DataFrame         # (id1, id2) duplicate edges
+    assignments: DataFrame   # (id/node, cluster_id)
+    committer: StageCommitter
+
+
+def run_pipeline(
+    spark: SparkSession,
+    docs: DataFrame,
+    config: DedupConfig | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_strategy: str = "xxhash64",
+    workdir: str | None = None,
+    run_id: str = "run",
+    containment_threshold: float = 0.9,
+) -> PipelineResult:
+    config = config or DedupConfig()
+    com = StageCommitter(spark, workdir, run_id)
+    nbits = 64 if hash_strategy == "xxhash64" else 60
+
+    def build_payload() -> DataFrame:
+        return represent.with_representation(
+            docs, config, id_col, text_col, hash_strategy
+        )
+
+    payload = com.stage("payload", build_payload)
+
+    def build_candidates() -> DataFrame:
+        lsh_pairs = lsh.candidate_pairs(
+            lsh.band_hashes(payload, config, "signature", "id"), config
+        ).withColumn("channel", F.lit("minhash_lsh"))
+        sim_pairs = ham.hamming_candidate_pairs(
+            payload.select("id", "simhash"), config, nbits
+        ).select("id1", "id2", F.lit("simhash").alias("channel"))
+        win_pairs = suffix.winnow_pairs_from_payload(payload).withColumn(
+            "channel", F.lit("winnow")
+        )
+        return (
+            lsh_pairs.unionByName(sim_pairs)
+            .unionByName(win_pairs)
+            .groupBy("id1", "id2")
+            .agg(F.collect_set("channel").alias("channels"))
+        )
+
+    candidates = com.stage("candidates", build_candidates)
+
+    def build_verified() -> DataFrame:
+        v = verify.verify_pairs(
+            candidates.select("id1", "id2"),
+            payload.select("id", "shingle_set", "fp"),
+            config,
+        )
+        # containment + hamming enrichments for taxonomy/edge decisions
+        sim_t = payload.select(F.col("id"), F.col("simhash"))
+        a = sim_t.select(F.col("id").alias("id1"), F.col("simhash").alias("sh1"))
+        b = sim_t.select(F.col("id").alias("id2"), F.col("simhash").alias("sh2"))
+        size_t = payload.select("id", F.size("shingle_set").alias("ssz"))
+        sa = size_t.select(F.col("id").alias("id1"), F.col("ssz").alias("sz1"))
+        sb = size_t.select(F.col("id").alias("id2"), F.col("ssz").alias("sz2"))
+        inter_t = payload.select("id", "shingle_set")
+        ia = inter_t.select(F.col("id").alias("id1"), F.col("shingle_set").alias("s1"))
+        ib = inter_t.select(F.col("id").alias("id2"), F.col("shingle_set").alias("s2"))
+        enriched = (
+            v.join(a, "id1").join(b, "id2").join(ia, "id1").join(ib, "id2")
+        )
+        inter = F.size(F.array_intersect("s1", "s2"))
+        smaller = F.least(F.size("s1"), F.size("s2"))
+        return enriched.select(
+            "id1",
+            "id2",
+            "jaccard",
+            "dup_type",
+            "status",
+            F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2"))).alias("hamming"),
+            F.round(
+                F.when(smaller > 0, inter / smaller).otherwise(0.0), 9
+            ).alias("containment"),
+        )
+
+    verified = com.stage("verified", build_verified)
+
+    def build_edges() -> DataFrame:
+        return (
+            verified.where(
+                (F.col("status") == "pass")
+                | (F.col("hamming") <= config.hamming_radius)
+                | (F.col("containment") >= containment_threshold)
+            )
+            .select("id1", "id2")
+            .distinct()
+        )
+
+    edges = com.stage("edges", build_edges)
+
+    def build_assignments() -> DataFrame:
+        vertices = payload.select("id")
+        return cc.connected_components(edges, vertices, config).select(
+            F.col("node").alias("id"), "cluster_id"
+        )
+
+    assignments = com.stage("assignments", build_assignments)
+
+    return PipelineResult(payload, candidates, verified, edges, assignments, com)
