@@ -44,6 +44,8 @@ class DedupConfig:
     # --- skew handling ---------------------------------------------------
     max_bucket_size: int = 2000   # LSH buckets larger than this are salted
     salt_chunk: int = 256         # member-chunk size for salted pair gen
+    winnow_max_df: int = 200      # winnow fps in more docs = boilerplate,
+    #                               skipped (documented coverage cap)
     # --- clustering ------------------------------------------------------
     max_cc_iterations: int = 50   # union-find safety cap (O(log n) expected)
 

@@ -1,0 +1,673 @@
+"""Query registry backing ``__spark_entry__.py``.
+
+Each entry pairs a Spark DataFrame program with a DuckDB-dialect oracle SQL
+producing the same rows (same column names, same values — the driver
+compares row counts, schemas, and order-insensitive value hashes at
+sf=0.01). Dedup queries run the md5 hash strategy so every integer is
+bit-identical across engines (functions/represent.py); floats are rounded
+on both sides.
+
+Coverage ↔ SURVEY.md §2: scans (S1/S3), projections/scalar fns (P3-P11),
+joins J1/J2/J6/J7, aggregations A1-A7, windows W1/W2, set ops SO1-SO3,
+vector ops E6/E7, classification C1-C3 — plus the beyond-reference
+training-data operators (exact/MinHash/SimHash/Jaccard/embedding dedup,
+ANN, language-ID, quality, token stats, fingerprints).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from entity_deduplication_hack_main_spark.config import TESTDATA_CONFIG, DedupConfig
+from entity_deduplication_hack_main_spark.functions import (
+    represent,
+    textnorm,
+    textstats,
+)
+from entity_deduplication_hack_main_spark.operators import (
+    cluster as cc_op,
+)
+from entity_deduplication_hack_main_spark.operators import (
+    hamming as ham_op,
+)
+from entity_deduplication_hack_main_spark.operators import knn as knn_op
+from entity_deduplication_hack_main_spark.operators import lsh as lsh_op
+from entity_deduplication_hack_main_spark.operators import suffix as suffix_op
+from entity_deduplication_hack_main_spark.operators import verify as verify_op
+
+CFG: DedupConfig = TESTDATA_CONFIG
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _docs_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return represent.with_representation(
+        _t(spark, sf_dir, "documents"), CFG, "doc_id", "text", "md5"
+    )
+
+
+@dataclass(frozen=True)
+class Query:
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # DuckDB oracle; None → rows-only check
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(fn):
+        REGISTRY[name] = Query(fn, sql)
+        return fn
+
+    return deco
+
+
+_REPR = represent.sql_repr_ctes(CFG)
+_SIG = represent.sql_signature_cte(CFG)
+_BANDS = lsh_op.sql_bands_from_sig(CFG)
+
+
+# ===========================================================================
+# A. Dedup core over `documents` (md5 strategy — bit-identical cross-engine)
+# ===========================================================================
+
+
+@register(
+    "exact_dup_clusters",
+    """
+SELECT doc_id,
+       min(doc_id) OVER (PARTITION BY md5(trim(regexp_replace(lower(text),
+           '[^\\p{L}\\p{N}]+', ' ', 'g')))) AS cluster_id
+FROM documents
+""",
+)
+def exact_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the normalized-text fingerprint (C1)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy(textstats.fingerprint(F.col("text")))
+    return docs.select(
+        "doc_id", F.min("doc_id").over(w).alias("cluster_id")
+    )
+
+
+@register(
+    "doc_fingerprints",
+    f"SELECT doc_id, {textstats.sql_fingerprint('text')} AS fp FROM documents",
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", textstats.fingerprint(F.col("text")).alias("fp")
+    )
+
+
+@register(
+    "token_stats",
+    f"""
+SELECT doc_id,
+       {textstats.sql_token_count('text')}::BIGINT AS n_tokens,
+       {textstats.sql_distinct_token_count('text')}::BIGINT AS n_distinct_tokens
+FROM documents
+""",
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        textstats.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        textstats.distinct_token_count(F.col("text"))
+        .cast("bigint")
+        .alias("n_distinct_tokens"),
+    )
+
+
+@register(
+    "shingle_set_digests",
+    f"""
+WITH {_REPR}
+SELECT id AS doc_id, md5(array_to_string(ss, ',')) AS ss_digest FROM _ss
+""",
+)
+def shingle_set_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _docs_payload(spark, sf_dir)
+    dig = F.md5(
+        F.array_join(F.transform("shingle_set", lambda x: x.cast("string")), ",")
+    )
+    return p.select(F.col("id").alias("doc_id"), dig.alias("ss_digest"))
+
+
+@register(
+    "minhash_signatures",
+    f"""
+WITH {_REPR},
+{_SIG}
+SELECT id AS doc_id, md5(array_to_string(sig, ',')) AS sig_digest FROM _sig
+""",
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _docs_payload(spark, sf_dir)
+    dig = F.md5(
+        F.array_join(F.transform("signature", lambda x: x.cast("string")), ",")
+    )
+    return p.select(F.col("id").alias("doc_id"), dig.alias("sig_digest"))
+
+
+@register(
+    "lsh_band_hashes",
+    f"""
+WITH {_REPR},
+{_SIG},
+{_BANDS}
+SELECT id AS doc_id, band_id, band_hash FROM _bands
+""",
+)
+def lsh_band_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _docs_payload(spark, sf_dir)
+    return lsh_op.band_hashes(p, CFG, "signature", "id").select(
+        F.col("id").alias("doc_id"), "band_id", "band_hash"
+    )
+
+
+@register(
+    "lsh_candidate_pairs",
+    f"""
+WITH {_REPR},
+{_SIG},
+{_BANDS}
+SELECT DISTINCT least(a.id, b.id) AS id1, greatest(a.id, b.id) AS id2
+FROM _bands a JOIN _bands b
+  ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.id < b.id
+""",
+)
+def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _docs_payload(spark, sf_dir)
+    bands = lsh_op.band_hashes(p, CFG, "signature", "id")
+    return lsh_op.candidate_pairs(bands, CFG)
+
+
+@register(
+    "verify_candidate_pairs",
+    verify_op.sql_verify_pairs(CFG),
+)
+def verify_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _docs_payload(spark, sf_dir)
+    bands = lsh_op.band_hashes(p, CFG, "signature", "id")
+    pairs = lsh_op.candidate_pairs(bands, CFG)
+    return verify_op.verify_pairs(
+        pairs, p.select("id", "shingle_set", "fp"), CFG
+    )
+
+
+@register(
+    "simhash_fingerprints",
+    f"""
+WITH {_REPR},
+_h AS (SELECT id, unnest(th) AS h FROM _th),
+_bits AS (
+  SELECT id, j.j,
+         sum(CASE WHEN (h >> j.j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM _h CROSS JOIN (FROM range(0, 60) t(j)) j
+  GROUP BY id, j.j
+),
+_fp AS (
+  SELECT id,
+         sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
+  FROM _bits GROUP BY id
+)
+SELECT t.id AS doc_id, coalesce(f.simhash, 0)::BIGINT AS simhash
+FROM _tok t LEFT JOIN _fp f ON t.id = f.id
+""",
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _docs_payload(spark, sf_dir)
+    return p.select(F.col("id").alias("doc_id"), "simhash")
+
+
+@register(
+    "simhash_hamming_pairs",
+    ham_op.sql_hamming_pairs(CFG),
+)
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _docs_payload(spark, sf_dir)
+    return ham_op.hamming_candidate_pairs(
+        p.select("id", "simhash"), CFG, nbits=60
+    )
+
+
+@register(
+    "winnow_candidate_pairs",
+    suffix_op.sql_winnowed_pairs(CFG),
+)
+def winnow_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _docs_payload(spark, sf_dir)
+    return suffix_op.winnow_pairs_from_payload(p)
+
+
+_EDGES_SQL = f"""
+SELECT id1, id2 FROM ({verify_op.sql_verify_pairs(CFG)}) WHERE status = 'pass'
+"""
+
+
+@register(
+    "lsh_dedup_clusters",
+    cc_op.sql_connected_components(
+        _EDGES_SQL, "SELECT doc_id AS id FROM documents"
+    ),
+)
+def lsh_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH channel end-to-end: candidates → verify pass → CC."""
+    p = _docs_payload(spark, sf_dir)
+    bands = lsh_op.band_hashes(p, CFG, "signature", "id")
+    pairs = lsh_op.candidate_pairs(bands, CFG)
+    verified = verify_op.verify_pairs(
+        pairs, p.select("id", "shingle_set", "fp"), CFG
+    )
+    edges = verify_op.duplicate_edges(verified)
+    return cc_op.connected_components(edges, p.select("id"), CFG).select(
+        F.col("node").alias("node"), "cluster_id"
+    )
+
+
+# ===========================================================================
+# B. Text analysis (training-data pipeline operators)
+# ===========================================================================
+
+
+@register(
+    "lang_stopword_scores",
+    f"""
+SELECT doc_id,
+       round({textstats.sql_stopword_ratio('text', 'en')}, 6) AS en_ratio,
+       round({textstats.sql_stopword_ratio('text', 'de')}, 6) AS de_ratio,
+       round({textstats.sql_stopword_ratio('text', 'fr')}, 6) AS fr_ratio,
+       round({textstats.sql_stopword_ratio('text', 'es')}, 6) AS es_ratio,
+       round({textstats.sql_stopword_ratio('text', 'nl')}, 6) AS nl_ratio
+FROM documents
+""",
+)
+def lang_stopword_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        *[
+            F.round(textstats.stopword_ratio(F.col("text"), lg), 6).alias(
+                f"{lg}_ratio"
+            )
+            for lg in ["en", "de", "fr", "es", "nl"]
+        ],
+    )
+
+
+@register(
+    "lang_distribution",
+    "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
+)
+def lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+_SQL_TOKS = textnorm.sql_tokens(textnorm.sql_normalize("text"))
+
+
+@register(
+    "top_tokens_per_lang",
+    f"""
+WITH _tok AS (
+  SELECT lang, unnest({_SQL_TOKS}) AS token FROM documents
+),
+_cnt AS (
+  SELECT lang, token, count(*) AS n FROM _tok GROUP BY lang, token
+),
+_rk AS (
+  SELECT lang, token, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, token ASC) AS rank
+  FROM _cnt
+)
+SELECT lang, token, n, rank FROM _rk WHERE rank <= 5
+""",
+)
+def top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 top-k per group over exploded tokens."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(textnorm.tokens(textnorm.normalize(F.col("text")))).alias(
+            "token"
+        ),
+    )
+    cnt = toks.groupBy("lang", "token").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("token"))
+    return (
+        cnt.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("lang", "token", "n", "rank")
+    )
+
+
+@register(
+    "quality_scores",
+    f"""
+WITH _q AS (
+  SELECT doc_id,
+         {textstats.sql_token_count('text')} AS tc,
+         {textstats.sql_distinct_token_count('text')} AS dtc,
+         CASE WHEN length(text) > 0 THEN
+           length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g'))::DOUBLE
+             / length(text)
+         ELSE 0.0 END AS pr,
+         list_sum(list_transform({_SQL_TOKS}, t -> length(t))) AS tot_len
+  FROM documents
+)
+SELECT doc_id,
+       round((CASE WHEN tc > 0 THEN dtc::DOUBLE / tc ELSE 0.0 END)
+             * (1.0 - pr)
+             * (CASE WHEN tc > 0
+                     AND tot_len::DOUBLE / tc >= 2
+                     AND tot_len::DOUBLE / tc <= 12
+                     THEN 1.0 ELSE 0.5 END), 6) AS quality
+FROM _q
+""",
+)
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", textstats.quality_score(F.col("text")).alias("quality")
+    )
+
+
+# ===========================================================================
+# C. Relational operator coverage (TPC-H-ish tables)
+# ===========================================================================
+
+
+@register(
+    "q1_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       round((sum(l_quantity::DECIMAL(18,2)))::DOUBLE, 2) AS sum_qty,
+       round((sum(l_extendedprice::DECIMAL(18,2)))::DOUBLE, 2) AS sum_base_price,
+       round((sum(l_extendedprice::DECIMAL(18,2)
+                  * (1 - l_discount::DECIMAL(18,2))))::DOUBLE, 2) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style hash aggregation (A2/A3 analog) with exact decimal
+    sums (double sums are summation-order-dependent; decimals are not)."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum(qty).cast("double"), 2).alias("sum_qty"),
+        F.round(F.sum(price).cast("double"), 2).alias("sum_base_price"),
+        F.round(F.sum(price * (1 - disc)).cast("double"), 2).alias(
+            "sum_disc_price"
+        ),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "top_orders_per_customer",
+    """
+WITH _rk AS (
+  SELECT o_custkey, o_orderkey,
+         round(o_totalprice::DECIMAL(18,2)::DOUBLE, 2) AS totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, totalprice, rank FROM _rk WHERE rank <= 3
+""",
+)
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/W1: top-k per group with deterministic tie-break."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(
+                F.col("o_totalprice").cast("decimal(18,2)").cast("double"), 2
+            ).alias("totalprice"),
+            "rank",
+        )
+    )
+
+
+@register(
+    "revenue_by_nation",
+    """
+SELECT n.n_name AS nation,
+       round((sum(l.l_extendedprice::DECIMAL(18,2)
+                  * (1 - l.l_discount::DECIMAL(18,2))))::DOUBLE, 2) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join star query: broadcast dims, shuffle on the fact keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(price * (1 - disc)).cast("double"), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "customers_without_orders",
+    """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN
+  (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+""",
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 anti-join semantics (the eval FN set): customers with no
+    high-value order. The filter pushes below the anti join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    return c.join(
+        o, c["c_custkey"] == o["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "events_hourly",
+    """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+       event_type,
+       count(*) AS n_events,
+       round((sum(value::DECIMAL(18,4)))::DOUBLE, 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window batch aggregation over the event stream table."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH").alias(
+            "hour"
+        ),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4
+        ).alias("sum_value"),
+    )
+
+
+@register(
+    "purchasers_without_errors",
+    """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+EXCEPT
+SELECT DISTINCT user_id FROM events
+WHERE event_type = 'error' AND ts >= TIMESTAMP '2024-01-24 00:00:00'
+""",
+)
+def purchasers_without_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SO3 except / set difference: purchasers with no recent error."""
+    e = _t(spark, sf_dir, "events")
+    a = e.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    b = (
+        e.where(
+            (F.col("event_type") == "error")
+            & (F.col("ts") >= F.lit("2024-01-24 00:00:00").cast("timestamp"))
+        )
+        .select("user_id")
+        .distinct()
+    )
+    return a.subtract(b)
+
+
+@register(
+    "similar_part_names",
+    """
+SELECT a.p_partkey AS id1, b.p_partkey AS id2,
+       levenshtein(a.p_name, b.p_name) AS lev
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 4
+""",
+)
+def similar_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 blocked string-similarity join (brand = blocking key, J1)."""
+    p = _t(spark, sf_dir, "part")
+    a = p.select(
+        F.col("p_partkey").alias("id1"),
+        F.col("p_name").alias("n1"),
+        F.col("p_brand").alias("brand"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("id2"),
+        F.col("p_name").alias("n2"),
+        F.col("p_brand").alias("brand"),
+    )
+    return (
+        a.join(b, "brand")
+        .where(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", F.levenshtein("n1", "n2").alias("lev"))
+        .where(F.col("lev") <= 4)
+    )
+
+
+# ===========================================================================
+# D. Embedding similarity (E6/E7 analog + ANN)
+# ===========================================================================
+
+
+@register(
+    "knn_bruteforce",
+    """
+WITH _p AS (SELECT * FROM embeddings WHERE vec_id % 10 = 0),
+_s AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(p.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine
+  FROM _p p CROSS JOIN embeddings c
+  WHERE p.vec_id != c.vec_id
+),
+_rk AS (
+  SELECT probe_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM _s
+)
+SELECT probe_id, neighbor_id, cosine, rank FROM _rk WHERE rank <= 5
+""",
+)
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 per probe (every 10th vector)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") % 10 == 0)
+    return knn_op.brute_force_knn(probes, emb, k=5)
+
+
+@register(
+    "embedding_near_dup_pairs",
+    """
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.3
+""",
+)
+def embedding_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup channel, blocked by label."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_op.embedding_near_dup_pairs(
+        emb, threshold=0.3, block_col="label"
+    )
+
+
+# ===========================================================================
+# driver contract
+# ===========================================================================
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: q.fn for name, q in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: q.sql for name, q in REGISTRY.items() if q.sql is not None}
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: full multi-channel dedup pipeline on sf0.001 documents →
+    (doc_id, cluster_id, cluster_size)."""
+    from entity_deduplication_hack_main_spark.plans.pipeline import run_pipeline
+
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    res = run_pipeline(spark, docs, CFG, id_col="doc_id", text_col="text")
+    sizes = res.assignments.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return (
+        res.assignments.join(sizes, "cluster_id")
+        .select(
+            F.col("id").alias("doc_id"),
+            "cluster_id",
+            "cluster_size",
+        )
+        .orderBy("doc_id")
+    )

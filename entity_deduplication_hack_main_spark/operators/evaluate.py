@@ -1,0 +1,107 @@
+"""Golden-standard evaluation: pair-set P/R/F1 with the reference's FP
+carve-out, per-type breakdowns, cluster-assignment recall.
+
+Reference parity (``EvaluateVariations.ipynb cell 2`` ``evaluate_matches``):
+- pair keys are order-insensitive (sorted tuples → least/greatest, J7);
+- TP = matched ∩ golden, FN = golden − matched (anti join);
+- FP = matched − golden, EXCLUDING pairs the engine classified
+  ``true_duplicate`` (exact) — the reference forgives exact duplicates the
+  golden file missed; our analog forgives dup_type = 'exact';
+- per-entity-type PRF (cell 5) and matched-% per variation type (cell 6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _norm_pairs(df: DataFrame, c1: str, c2: str) -> DataFrame:
+    return df.select(
+        F.least(F.col(c1), F.col(c2)).alias("p1"),
+        F.greatest(F.col(c1), F.col(c2)).alias("p2"),
+    ).distinct()
+
+
+def pair_metrics(
+    matched: DataFrame,
+    golden: DataFrame,
+    matched_cols: tuple[str, str] = ("id1", "id2"),
+    golden_cols: tuple[str, str] = ("original_id", "duplicate_id"),
+    exact_pairs: DataFrame | None = None,
+) -> dict[str, float]:
+    """{tp, fp, fn, precision, recall, f1} over normalized pair sets.
+
+    exact_pairs: optional (id1, id2) the engine calls 'exact' — excluded
+    from FP like the reference's true_duplicate carve-out.
+    """
+    m = _norm_pairs(matched, *matched_cols).cache()
+    g = _norm_pairs(golden, *golden_cols).cache()
+    tp = m.join(g, ["p1", "p2"], "left_semi").count()
+    fp_df = m.join(g, ["p1", "p2"], "left_anti")
+    if exact_pairs is not None:
+        fp_df = fp_df.join(
+            _norm_pairs(exact_pairs, *matched_cols), ["p1", "p2"], "left_anti"
+        )
+    fp = fp_df.count()
+    fn = g.join(m, ["p1", "p2"], "left_anti").count()
+    precision = tp / (tp + fp) if tp + fp else 0.0
+    recall = tp / (tp + fn) if tp + fn else 0.0
+    f1 = (
+        2 * precision * recall / (precision + recall)
+        if precision + recall
+        else 0.0
+    )
+    return {
+        "tp": tp, "fp": fp, "fn": fn,
+        "precision": precision, "recall": recall, "f1": f1,
+    }
+
+
+def recall_by_type(
+    matched: DataFrame,
+    golden: DataFrame,
+    type_col: str = "variation_type",
+    matched_cols: tuple[str, str] = ("id1", "id2"),
+    golden_cols: tuple[str, str] = ("original_id", "duplicate_id"),
+) -> DataFrame:
+    """(variation_type, n_golden, n_matched, recall) — cell 6 analog."""
+    g = golden.select(
+        F.least(F.col(golden_cols[0]), F.col(golden_cols[1])).alias("p1"),
+        F.greatest(F.col(golden_cols[0]), F.col(golden_cols[1])).alias("p2"),
+        F.col(type_col),
+    )
+    m = _norm_pairs(matched, *matched_cols).withColumn("matched", F.lit(1))
+    return (
+        g.join(m, ["p1", "p2"], "left")
+        .groupBy(type_col)
+        .agg(
+            F.count("*").alias("n_golden"),
+            F.sum(F.coalesce("matched", F.lit(0))).alias("n_matched"),
+            F.round(
+                F.sum(F.coalesce("matched", F.lit(0))) / F.count("*"), 6
+            ).alias("recall"),
+        )
+    )
+
+
+def cluster_recall(
+    assignments: DataFrame,
+    golden: DataFrame,
+    id_col: str = "id",
+    cluster_col: str = "cluster_id",
+    golden_cols: tuple[str, str] = ("original_id", "duplicate_id"),
+) -> float:
+    """Fraction of golden pairs whose two docs share a cluster — the
+    north_rule's dup-pair recall vs cluster assignments (>= 0.99 gate)."""
+    a1 = assignments.select(
+        F.col(id_col).alias(golden_cols[0]), F.col(cluster_col).alias("c1")
+    )
+    a2 = assignments.select(
+        F.col(id_col).alias(golden_cols[1]), F.col(cluster_col).alias("c2")
+    )
+    j = golden.join(a1, golden_cols[0]).join(a2, golden_cols[1])
+    row = j.select(
+        F.avg((F.col("c1") == F.col("c2")).cast("double")).alias("r")
+    ).collect()[0]
+    return float(row["r"]) if row["r"] is not None else 1.0

@@ -43,16 +43,18 @@ def hamming_candidate_pairs(
     max_bucket (degenerate fingerprints, e.g. empty docs) are dropped —
     a documented coverage cap mirroring LSH bucket salting.
     """
+    from pyspark.sql import Window
+
     blocks = sim_table.select(
         "id",
         "simhash",
         F.explode(shash.simhash_blocks(F.col("simhash"), config, nbits)).alias("b"),
     ).select("id", "simhash", "b.block_id", "b.block_key")
     key = ["block_id", "block_key"]
-    sizes = blocks.groupBy(*key).agg(F.count("*").alias("n"))
-    blocks = blocks.join(
-        sizes.where((F.col("n") >= 2) & (F.col("n") <= max_bucket)), key
-    )
+    # window count = one shuffle; the self-join reuses its partitioning
+    blocks = blocks.withColumn(
+        "n", F.count("*").over(Window.partitionBy(*key))
+    ).where((F.col("n") >= 2) & (F.col("n") <= max_bucket))
     a, b = blocks.alias("a"), blocks.alias("b")
     ham = shash.hamming(F.col("a.simhash"), F.col("b.simhash"))
     return (

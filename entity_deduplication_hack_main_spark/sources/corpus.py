@@ -59,19 +59,25 @@ _VOWS = ["a", "e", "i", "o", "u"]
 
 
 def _build_vocab() -> list[str]:
+    """~3000 deterministic words. A big vocabulary plus per-doc topic
+    subsets (below) keeps independent docs' token distributions apart —
+    like real topical web pages — so SimHash fingerprints separate."""
     syll = [c + v for c in _CONS for v in _VOWS]
+    n = len(syll)  # 70
     vocab = []
-    for i in range(420):
-        s1 = syll[i % len(syll)]
-        s2 = syll[(i * 7 + 3) % len(syll)]
-        s3 = syll[(i * 13 + 11) % len(syll)]
-        vocab.append(s1 + s2 + (s3 if i % 3 == 0 else ""))
+    for i in range(3200):
+        s1 = syll[i % n]
+        s2 = syll[(i // n) % n]
+        s3 = syll[(i * 13 + 11) % n]
+        w = s1 + s2 + (s3 if i % 2 == 0 else "")
+        vocab.append(w + ("x" if i % 5 == 0 else ""))
     return sorted(set(vocab))
 
 
 VOCAB = _build_vocab()
+TOPIC_WORDS = 160  # per-doc topical vocabulary size
 EXPANSIONS = {"en": "english", "de": "german", "fr": "french", "es": "spanish", "nl": "dutch"}
-TRANSLATIONS = {w: "tr" + w for w in VOCAB[:60]}
+TRANSLATIONS = {w: "tr" + w for w in VOCAB[:1500]}
 LANG_STOPWORDS = {
     "en": ["the", "and", "of"],
     "de": ["der", "und", "das"],
@@ -101,29 +107,36 @@ def _escape(text: str) -> str:
     return text
 
 
-def _base_sentences(rng: np.random.Generator, lang: str) -> list[list[str]]:
-    """Sentences as token lists; each opens with lang stopwords (lang-ID signal)."""
-    n_sent = int(rng.integers(10, 26))
-    zipf_w = 1.0 / np.arange(1, len(VOCAB) + 1)
+def _base_sentences(
+    rng: np.random.Generator, lang: str, size_mult: int = 1
+) -> list[list[str]]:
+    """Sentences as token lists drawn from a doc-specific topical subset;
+    each opens with lang stopwords (lang-ID signal). size_mult scales the
+    sentence count (1 → ~10-25 sentences ≈ 230 tokens; real web pages run
+    ~1-2k tokens, so benches use 3-6)."""
+    n_sent = int(rng.integers(10, 26)) * size_mult
+    topic = rng.choice(len(VOCAB), size=TOPIC_WORDS, replace=False)
+    zipf_w = 1.0 / np.arange(1, TOPIC_WORDS + 1)
     zipf_w /= zipf_w.sum()
     sw = LANG_STOPWORDS[lang]
     sents = []
     for _ in range(n_sent):
         n_words = int(rng.integers(6, 15))
-        words = [VOCAB[j] for j in rng.choice(len(VOCAB), size=n_words, p=zipf_w)]
+        words = [VOCAB[topic[j]] for j in rng.choice(TOPIC_WORDS, size=n_words, p=zipf_w)]
         words.insert(0, sw[int(rng.integers(0, len(sw)))])
         sents.append(words)
-    # a date sentence (format_change target) and a lang-code sentence
+    # a date sentence (format_change target) placed mid-document, followed
+    # by topical words so no long token run is shared across unrelated docs
     y, m, d = int(rng.integers(2015, 2025)), int(rng.integers(1, 13)), int(rng.integers(1, 29))
-    sents.append(["published", "on", f"{y:04d}-{m:02d}-{d:02d}"])
-    sents.append(["language", "code", lang])
+    mid = len(sents) // 2
+    sents.insert(mid, ["published", "on", f"{y:04d}-{m:02d}-{d:02d}", "as", lang])
     return sents
 
 
-def _orig_content(seed: int, doc_id: int, n_orig: int):
+def _orig_content(seed: int, doc_id: int, n_orig: int, size_mult: int = 1):
     rng = np.random.default_rng([seed, doc_id])
     lang = LANGS[int(rng.integers(0, len(LANGS)))]
-    sents = _base_sentences(rng, lang)
+    sents = _base_sentences(rng, lang, size_mult)
     title = " ".join(VOCAB[j] for j in rng.integers(0, len(VOCAB), size=4))
     nav = _NAV_VARIANTS[int(rng.integers(0, len(_NAV_VARIANTS)))]
     footer = _FOOTER_VARIANTS[int(rng.integers(0, len(_FOOTER_VARIANTS)))]
@@ -215,14 +228,14 @@ def _render(sents: list[list[str]]) -> str:
     return "\n".join(" ".join(s) + "." for s in sents)
 
 
-def _make_doc(seed: int, doc_id: int, n_orig: int) -> dict:
+def _make_doc(seed: int, doc_id: int, n_orig: int, size_mult: int = 1) -> dict:
     if doc_id < n_orig:
         orig_id, variation = doc_id, "original"
-        lang, sents, title, nav, footer = _orig_content(seed, doc_id, n_orig)
+        lang, sents, title, nav, footer = _orig_content(seed, doc_id, n_orig, size_mult)
     else:
         orig_id = (doc_id * _KNUTH) % n_orig
         variation = VARIATIONS[doc_id % len(VARIATIONS)]
-        lang, sents, title, nav, footer = _orig_content(seed, orig_id, n_orig)
+        lang, sents, title, nav, footer = _orig_content(seed, orig_id, n_orig, size_mult)
         rng = np.random.default_rng([seed, doc_id, 1])
         sents = _apply_variation(variation, sents, rng)
         if variation == "boilerplate_change":
@@ -263,6 +276,7 @@ def synthesize_corpus(
     dup_fraction: float = 0.4,
     seed: int = 42,
     partitions: int | None = None,
+    size_mult: int = 1,
 ) -> DataFrame:
     """Distributed deterministic corpus of *n_docs* pages.
 
@@ -273,7 +287,7 @@ def synthesize_corpus(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [_make_doc(seed, int(i), n_orig) for i in pdf["id"]]
+            rows = [_make_doc(seed, int(i), n_orig, size_mult) for i in pdf["id"]]
             yield pd.DataFrame(rows)
 
     rng_df = spark.range(0, n_docs, 1, partitions or spark.sparkContext.defaultParallelism)

@@ -1,0 +1,164 @@
+"""Operator-level tests: clustering, LSH salting equivalence, top-k, kNN,
+evaluation metrics, similarity scalar functions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from entity_deduplication_hack_main_spark.config import DedupConfig
+from entity_deduplication_hack_main_spark.functions import similarity as simfn
+from entity_deduplication_hack_main_spark.operators import (
+    cluster,
+    evaluate,
+    knn,
+    lsh,
+    topk,
+)
+
+
+def test_connected_components_chain_and_isolated(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id1 bigint, id2 bigint"
+    )
+    verts = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 99]], "id bigint")
+    out = {
+        r["node"]: r["cluster_id"]
+        for r in cluster.connected_components(edges, verts).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_connected_components_long_chain_converges(spark):
+    n = 200
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id1 bigint, id2 bigint"
+    )
+    out = cluster.connected_components(edges, config=DedupConfig())
+    assert out.where(F.col("cluster_id") != 0).count() == 0
+    assert out.count() == n + 1
+
+
+def test_connected_components_string_ids(spark):
+    edges = spark.createDataFrame(
+        [("url:b", "url:a"), ("url:b", "url:c")], "id1 string, id2 string"
+    )
+    out = {r["node"]: r["cluster_id"] for r in cluster.connected_components(edges).collect()}
+    assert set(out.values()) == {"url:a"}
+
+
+def test_salted_pairs_equal_unsalted(spark):
+    """Salting is a physical rewrite: the pair set must be identical."""
+    import random
+
+    random.seed(5)
+    rows = [(i, 0, f"h{random.randrange(3)}") for i in range(300)]
+    bands = spark.createDataFrame(rows, "id bigint, band_id int, band_hash string")
+    cfg_plain = DedupConfig(max_bucket_size=10_000)
+    cfg_salted = DedupConfig(max_bucket_size=20, salt_chunk=16)
+    plain = {
+        (r["id1"], r["id2"])
+        for r in lsh.candidate_pairs(bands, cfg_plain).collect()
+    }
+    salted = {
+        (r["id1"], r["id2"])
+        for r in lsh.candidate_pairs(bands, cfg_salted).collect()
+    }
+    assert plain == salted and len(plain) > 0
+
+
+def test_top_k_matches_reference_semantics(spark):
+    """J2: k best per probe, >= threshold, deterministic ties."""
+    pairs = spark.createDataFrame(
+        [
+            (1, 100, 0.9), (2, 100, 0.8), (3, 100, 0.8), (4, 100, 0.4),
+            (1, 200, 0.95),
+        ],
+        "id1 bigint, id2 bigint, score double",
+    )
+    out = topk.top_k_matches(pairs, "id2", "score", k=2, threshold=0.5)
+    got = {(r["id1"], r["id2"], r["rank"]) for r in out.collect()}
+    assert got == {(1, 100, 1), (2, 100, 2), (1, 200, 1)}
+
+
+def test_brute_force_knn_exact(spark):
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]), (4, [-1.0, 0.0]),
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    probes = vecs.where(F.col("vec_id") == 1)
+    out = knn.brute_force_knn(probes, vecs, k=2)
+    got = [(r["neighbor_id"], r["rank"]) for r in out.orderBy("rank").collect()]
+    assert got == [(2, 1), (3, 2)]
+
+
+def test_lsh_knn_recall_vs_bruteforce(spark, sf001):
+    emb = spark.read.parquet(f"{sf001}/embeddings.parquet")
+    probes = emb.where(F.col("vec_id") % 25 == 0)
+    exact = knn.brute_force_knn(probes, emb, k=3)
+    approx = knn.lsh_bucketed_knn(probes, emb, dim=64, k=3, n_planes=6)
+    e = {(r["probe_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["probe_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.3, f"ANN recall {recall} suspiciously low"
+
+
+def test_pair_metrics_with_carveout(spark):
+    matched = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6)], "id1 bigint, id2 bigint"
+    )
+    golden = spark.createDataFrame(
+        [(2, 1), (3, 4), (7, 8)], "original_id bigint, duplicate_id bigint"
+    )
+    exact = spark.createDataFrame([(5, 6)], "id1 bigint, id2 bigint")
+    m = evaluate.pair_metrics(matched, golden, exact_pairs=exact)
+    assert (m["tp"], m["fp"], m["fn"]) == (2, 0, 1)
+    m2 = evaluate.pair_metrics(matched, golden)
+    assert (m2["tp"], m2["fp"], m2["fn"]) == (2, 1, 1)
+
+
+def test_recall_by_type(spark):
+    matched = spark.createDataFrame([(1, 2)], "id1 bigint, id2 bigint")
+    golden = spark.createDataFrame(
+        [(2, 1, "typo"), (3, 4, "typo"), (5, 6, "swap")],
+        "original_id bigint, duplicate_id bigint, variation_type string",
+    )
+    got = {
+        r["variation_type"]: (r["n_golden"], r["n_matched"])
+        for r in evaluate.recall_by_type(matched, golden).collect()
+    }
+    assert got == {"typo": (2, 1), "swap": (1, 0)}
+
+
+def test_norm_levenshtein_and_acronym(spark):
+    df = spark.createDataFrame(
+        [("kitten", "sitting"), ("", ""), ("General Hospital", "GH")],
+        "a string, b string",
+    )
+    out = df.select(
+        simfn.norm_levenshtein_sim(F.col("a"), F.col("b")).alias("s"),
+        simfn.acronym_match(F.col("a"), F.col("b")).alias("am"),
+    ).collect()
+    assert abs(out[0]["s"] - (1 - 3 / 7)) < 1e-9
+    assert out[1]["s"] == 1.0
+    assert out[2]["am"] is True and out[0]["am"] is False
+
+
+def test_adaptive_threshold_matches_reference(spark):
+    """similarity_utils.py:49-54 lookup values."""
+    df = spark.createDataFrame([(n,) for n in range(1, 7)], "n int")
+    got = [
+        r["t"] for r in df.select(
+            simfn.adaptive_threshold(F.col("n")).alias("t")
+        ).orderBy("n").collect()
+    ]
+    assert got == [0.4, 0.55, 0.7, 0.8, 0.85, 0.85]
+
+
+def test_sequence_matcher_parity():
+    """Bit-compat with difflib on the reference's own example semantics."""
+    from difflib import SequenceMatcher
+
+    assert SequenceMatcher(None, "general hospital", "general hospitol").ratio() > 0.9

@@ -1,0 +1,134 @@
+"""End-to-end golden tests: recall gate, extraction byte-identity, resume.
+
+The pytest analog of the reference's golden-standard evaluation notebooks
+(SURVEY.md §5): synthetic corpus with labeled variation classes → pipeline →
+cluster assignments vs arithmetic golden pairs; the BASELINE.json gates are
+dup-pair recall >= 0.99 and byte-identical extracted text per url.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from entity_deduplication_hack_main_spark.config import DedupConfig
+from entity_deduplication_hack_main_spark.operators import evaluate, extraction
+from entity_deduplication_hack_main_spark.plans.pipeline import run_pipeline
+from entity_deduplication_hack_main_spark.sources import corpus
+
+N_DOCS = 600
+DUP_FRACTION = 0.4
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    d = corpus.synthesize_corpus(
+        spark, n_docs=N_DOCS, dup_fraction=DUP_FRACTION, seed=42
+    ).cache()
+    d.count()
+    return d
+
+
+@pytest.fixture(scope="module")
+def result(spark, docs):
+    return run_pipeline(spark, docs, DedupConfig())
+
+
+def test_corpus_deterministic_across_partitionings(spark):
+    a = corpus.synthesize_corpus(spark, 100, seed=9, partitions=1)
+    b = corpus.synthesize_corpus(spark, 100, seed=9, partitions=7)
+    ah = a.select(F.md5(F.concat_ws("|", "url", "text", "lang")).alias("h"))
+    bh = b.select(F.md5(F.concat_ws("|", "url", "text", "lang")).alias("h"))
+    assert ah.subtract(bh).count() == 0 and bh.subtract(ah).count() == 0
+
+
+def test_extraction_byte_identical(spark, docs):
+    """input_hint invariant: extracted text == stored text, per url."""
+    ext = extraction.with_extracted_text(docs)
+    bad = ext.where(F.col("extracted_text") != F.col("text")).count()
+    assert bad == 0
+
+
+def test_golden_recall_gate(spark, docs, result):
+    golden = corpus.golden_pairs(spark, N_DOCS, DUP_FRACTION)
+    recall = evaluate.cluster_recall(result.assignments, golden)
+    assert recall >= 0.99, f"dup-pair recall {recall} < 0.99"
+
+
+def test_recall_per_variation_class(spark, docs, result):
+    golden = corpus.golden_pairs(spark, N_DOCS, DUP_FRACTION)
+    # pairwise-channel recall per class via cluster agreement
+    a1 = result.assignments.select(
+        F.col("id").alias("original_id"), F.col("cluster_id").alias("c1")
+    )
+    a2 = result.assignments.select(
+        F.col("id").alias("duplicate_id"), F.col("cluster_id").alias("c2")
+    )
+    per = (
+        golden.join(a1, "original_id")
+        .join(a2, "duplicate_id")
+        .groupBy("variation_type")
+        .agg(F.avg((F.col("c1") == F.col("c2")).cast("double")).alias("r"))
+        .collect()
+    )
+    weak = {r["variation_type"]: r["r"] for r in per if r["r"] < 0.9}
+    assert not weak, f"variation classes below 0.9 recall: {weak}"
+
+
+def test_exact_copies_classified_exact(spark, docs, result):
+    """C1: exact_copy dups land in dup_type='exact' pairs."""
+    exact = result.verified.where(F.col("dup_type") == "exact")
+    assert exact.count() > 0
+    assert exact.where(F.col("jaccard") < 1.0).count() == 0
+
+
+def test_cluster_assignment_consistency(spark, result):
+    """Every doc appears exactly once; cluster_id is a member of cluster."""
+    asn = result.assignments
+    assert asn.count() == asn.select("id").distinct().count() == N_DOCS
+    # cluster label must itself be an assigned doc with the same label
+    lbl = asn.select(F.col("cluster_id").alias("id2")).distinct()
+    roots = asn.join(lbl, asn["id"] == lbl["id2"], "left_semi")
+    bad = (
+        asn.alias("a")
+        .join(asn.alias("b"), F.col("a.cluster_id") == F.col("b.id"))
+        .where(F.col("b.cluster_id") != F.col("b.id"))
+        .count()
+    )
+    assert bad == 0, "cluster root not a fixpoint"
+
+
+def test_pair_metrics_precision(spark, docs, result):
+    """Precision of pass edges vs golden clusters (same-cluster ground
+    truth). Word-salad corpus → near-dups are all injected, so precision
+    should be high."""
+    golden_docs = docs.select("doc_id", F.col("cluster_id").alias("gt"))
+    e = (
+        result.edges.join(
+            golden_docs.select(F.col("doc_id").alias("id1"), F.col("gt").alias("g1")),
+            "id1",
+        )
+        .join(
+            golden_docs.select(F.col("doc_id").alias("id2"), F.col("gt").alias("g2")),
+            "id2",
+        )
+    )
+    total = e.count()
+    good = e.where(F.col("g1") == F.col("g2")).count()
+    assert total > 0
+    assert good / total >= 0.98, f"edge precision {good}/{total}"
+
+
+def test_resume_skips_committed_stages(spark, docs, tmp_path):
+    wd = str(tmp_path / "wd")
+    cfg = DedupConfig()
+    r1 = run_pipeline(spark, docs.limit(200), cfg, workdir=wd, run_id="a")
+    r1.assignments.count()
+    assert all(not e["resumed"] for e in r1.committer.events)
+    r2 = run_pipeline(spark, docs.limit(200), cfg, workdir=wd, run_id="b")
+    n = r2.assignments.count()
+    assert all(e["resumed"] for e in r2.committer.events)
+    assert n == r1.assignments.count()
+    lineage = r2.committer.lineage()
+    stages = {r["stage"] for r in lineage.select("stage").distinct().collect()}
+    assert stages == {"payload", "candidates", "verified", "edges", "assignments"}
