@@ -61,7 +61,7 @@ class DedupConfig:
         """(a, b) coefficient vectors for sig_i = min((a_i*h + b_i) mod P31).
 
         Seeded PCG64 — identical on every executor, every run, and inlined
-        verbatim into the DuckDB oracle SQL (functions/minhash.py).
+        verbatim into the DuckDB oracle SQL (functions/represent.py).
         """
         rng = np.random.default_rng(self.seed)
         a = rng.integers(1, P31, size=self.num_perms, dtype=np.uint64)

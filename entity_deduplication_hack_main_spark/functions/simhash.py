@@ -7,7 +7,7 @@ token multiset. Candidates come from a block index (4 x 16-bit keys: any two
 docs within Hamming distance 3 share at least one of 4 blocks, pigeonhole),
 verified with ``bit_count(xor) <= r``.
 
-Execution contract mirrors functions/minhash.py: token hashing JVM-side,
+Execution contract mirrors functions/represent.py: token hashing JVM-side,
 fingerprint assembly in an Arrow-batched numpy kernel (loop over bit chunks,
 never over rows). The oracle variant uses 60-bit md5-derived token hashes so
 DuckDB reproduces the exact fingerprint integers.

@@ -24,8 +24,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from entity_deduplication_hack_main_spark.config import DedupConfig
-from entity_deduplication_hack_main_spark.functions import shingles as sh
-from entity_deduplication_hack_main_spark.functions import textnorm
 
 
 def band_hashes(

@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""spark-submit driver for the dedup pipeline.
+
+Cluster usage (north_rule contract):
+
+    zip -r spark_dedup.zip entity_deduplication_hack_main_spark/
+    spark-submit --py-files spark_dedup.zip run_dedup.py \
+        --input  s3://bucket/crawl/documents/ \
+        --output s3://bucket/crawl/clusters/ \
+        --workdir s3://bucket/crawl/_stages/run42 \
+        --text-col text --id-col url
+
+Local smoke:
+
+    python run_dedup.py --synthetic 10000 --output /tmp/clusters \
+        --workdir /tmp/dedup_stages
+
+Resumable: re-running with the same --workdir skips committed stages
+(plans/lineage.py); per-partition lineage rows land in <workdir>/_lineage.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="parquet/Iceberg path of the documents table")
+    ap.add_argument("--synthetic", type=int, default=0,
+                    help="generate N synthetic docs instead of --input")
+    ap.add_argument("--output", required=True, help="cluster-assignment sink")
+    ap.add_argument("--workdir", default=None, help="stage-commit dir (resume)")
+    ap.add_argument("--id-col", default="url")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--extract-html", action="store_true",
+                    help="derive text from the html column first")
+    ap.add_argument("--run-id", default=None)
+    ap.add_argument("--cpus", type=int, default=None,
+                    help="local[N] when not under spark-submit")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from entity_deduplication_hack_main_spark import DedupConfig, get_spark
+    from entity_deduplication_hack_main_spark.operators import extraction
+    from entity_deduplication_hack_main_spark.plans.pipeline import run_pipeline
+    from entity_deduplication_hack_main_spark.sources import corpus, sinks
+
+    active = SparkSession.getActiveSession()
+    spark = active or get_spark(parallelism=args.cpus)
+    config = DedupConfig()
+
+    if args.synthetic:
+        docs = corpus.synthesize_corpus(spark, n_docs=args.synthetic)
+        id_col, text_col = "doc_id", "text"
+    else:
+        if not args.input:
+            ap.error("--input or --synthetic required")
+        docs = spark.read.parquet(args.input)
+        id_col, text_col = args.id_col, args.text_col
+
+    if args.extract_html:
+        docs = extraction.with_extracted_text(docs, "html", "_text")
+        text_col = "_text"
+
+    run_id = args.run_id or f"run-{int(time.time())}"
+    t0 = time.monotonic()
+    res = run_pipeline(
+        spark, docs, config,
+        id_col=id_col, text_col=text_col,
+        workdir=args.workdir, run_id=run_id,
+    )
+    sinks.write_clusters(res.assignments, args.output)
+    n = res.assignments.count()
+    n_clusters = res.assignments.select("cluster_id").distinct().count()
+    wall = time.monotonic() - t0
+    print(json.dumps({
+        "run_id": run_id, "docs": n, "clusters": n_clusters,
+        "wall_sec": round(wall, 2),
+        "docs_per_sec": round(n / wall, 1) if wall else None,
+        "stages": res.committer.events,
+    }))
+
+
+if __name__ == "__main__":
+    main()

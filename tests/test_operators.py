@@ -162,3 +162,27 @@ def test_sequence_matcher_parity():
     from difflib import SequenceMatcher
 
     assert SequenceMatcher(None, "general hospital", "general hospitol").ratio() > 0.9
+
+
+def test_sinks_roundtrip(spark, tmp_path):
+    """S3/S4/S5 I/O surface: JSON matches sink+scan, CSV golden scan."""
+    from entity_deduplication_hack_main_spark.sources import sinks
+
+    m = spark.createDataFrame(
+        [(1, 2, 0.9, "near_exact")], "id1 bigint, id2 bigint, jaccard double, dup_type string"
+    )
+    p = str(tmp_path / "matches")
+    sinks.write_matches_json(m, p)
+    back = sinks.read_matches_json(spark, p)
+    assert back.count() == 1 and set(back.columns) == set(m.columns)
+
+    csv_path = str(tmp_path / "golden.csv")
+    import pandas as pd
+
+    pd.DataFrame(
+        {"original_id": ["a"], "duplicate_id": ["b"], "entity_type": ["Person"],
+         "variation_type": ["typo"], "field_name": ["name"],
+         "original_value": ["x"], "varied_value": ["y"]}
+    ).to_csv(csv_path, index=False)
+    g = sinks.read_golden_csv(spark, csv_path)
+    assert g.count() == 1 and "variation_type" in g.columns

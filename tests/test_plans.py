@@ -1,0 +1,78 @@
+"""Physical-plan quality gates — the scale checklist as assertions.
+
+The 100 TB design contract (task brief): filters/column pruning reach the
+parquet scan, small dims broadcast, the hot path never drops to row-at-a-
+time Python (`BatchEvalPython`), and the Arrow kernel appears as a single
+mapInArrow/ArrowEval node.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from entity_deduplication_hack_main_spark import entry_queries
+from entity_deduplication_hack_main_spark.config import DedupConfig
+from entity_deduplication_hack_main_spark.functions import represent
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_no_row_python_on_hot_path(spark, sf001):
+    """north_rule: zero per-row Python — the payload plan must contain the
+    Arrow kernel nodes only, never BatchEvalPython."""
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    p = represent.with_representation(docs, DedupConfig())
+    plan = _plan(p)
+    assert "BatchEvalPython" not in plan
+    assert ("MapInArrow" in plan) or ("ArrowEvalPython" in plan)
+
+
+def test_column_pruning_reaches_scan(spark, sf001):
+    """A 2-column projection must not read all lineitem columns."""
+    q = entry_queries.queries()["q1_pricing_summary"](spark, sf001)
+    plan = _plan(q)
+    scan = [ln for ln in plan.splitlines() if "FileScan" in ln or "ReadSchema" in ln]
+    txt = "\n".join(scan) or plan
+    assert "l_comment" not in txt  # never selected anywhere
+    assert "l_shipdate" not in txt  # exists in schema, not in this query
+
+
+def test_filter_pushdown_reaches_scan(spark, sf001):
+    li = spark.read.parquet(f"{sf001}/lineitem.parquet")
+    q = li.where(F.col("l_quantity") > 49).select("l_orderkey")
+    plan = _plan(q)
+    assert "PushedFilters: [" in plan
+    assert "GreaterThan(l_quantity" in plan
+
+
+def test_broadcast_join_for_small_dims(spark, sf001):
+    q = entry_queries.queries()["revenue_by_nation"](spark, sf001)
+    plan = _plan(q)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_anti_join_stays_anti(spark, sf001):
+    q = entry_queries.queries()["customers_without_orders"](spark, sf001)
+    assert "LeftAnti" in _plan(q)
+
+
+def test_partial_aggregation_present(spark, sf001):
+    """groupBy aggregations must split partial/final (map-side combine)."""
+    q = entry_queries.queries()["lang_distribution"](spark, sf001)
+    plan = _plan(q)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_window_group_limit_pushdown(spark, sf001):
+    """rank<=k filters should trigger WindowGroupLimit (Spark 3.5+) so the
+    full per-group sort never materializes."""
+    q = entry_queries.queries()["top_orders_per_customer"](spark, sf001)
+    plan = _plan(q)
+    assert "WindowGroupLimit" in plan
