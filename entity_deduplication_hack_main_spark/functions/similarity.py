@@ -136,3 +136,24 @@ def cosine(a: Column, b: Column) -> Column:
     d = dot(a, b)
     n = l2_norm(a) * l2_norm(b)
     return F.when(n > 0, d / n)
+
+
+def l2_normalize(a: Column) -> Column:
+    """E6 (dedup_pipeline.py:45-46): unit-norm vector; zero vector → nulls."""
+    n = l2_norm(a)
+    return F.transform(a, lambda x: F.when(n > 0, x.cast("double") / n))
+
+
+def fuse(text_vec: Column, graph_vec: Column, alpha: float = 0.5) -> Column:
+    """E5 hybrid fusion (embedding_utils.py:39-51):
+    alpha*text + (1-alpha)*graph; missing graph vector → text side scaled
+    against zeros exactly like the reference's zeros(384) fallback."""
+    fused = F.zip_with(
+        text_vec,
+        graph_vec,
+        lambda t, g: alpha * t.cast("double") + (1.0 - alpha) * g.cast("double"),
+    )
+    zeros_fallback = F.transform(
+        text_vec, lambda t: alpha * t.cast("double")
+    )
+    return F.when(graph_vec.isNotNull(), fused).otherwise(zeros_fallback)

@@ -37,3 +37,24 @@ def write_clusters(assignments: DataFrame, path: str, mode: str = "overwrite") -
     """Cluster-assignment sink: partitioned parquet (Iceberg-contract —
     swap for .format('iceberg') when the runtime jar is present)."""
     assignments.write.mode(mode).parquet(path)
+
+
+def write_corpus_partitioned(
+    docs: DataFrame, path: str, mode: str = "overwrite"
+) -> None:
+    """Corpus sink partitioned by days(warc_ts) — the north_star's Iceberg
+    `days(warc_ts)` partition transform rendered as a parquet partition
+    column. Readers filtering on warc_ts get partition pruning
+    (PartitionFilters in the scan; tests/test_plans.py asserts it)."""
+    from pyspark.sql import functions as F
+
+    (
+        docs.withColumn("warc_day", F.to_date("warc_ts"))
+        .write.mode(mode)
+        .partitionBy("warc_day")
+        .parquet(path)
+    )
+
+
+def read_corpus_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)

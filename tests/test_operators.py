@@ -186,3 +186,22 @@ def test_sinks_roundtrip(spark, tmp_path):
     ).to_csv(csv_path, index=False)
     g = sinks.read_golden_csv(spark, csv_path)
     assert g.count() == 1 and "variation_type" in g.columns
+
+
+def test_vector_fusion_and_normalize(spark):
+    """E5/E6 parity: hybrid fusion with zeros fallback; unit-norm output."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], [0.0, 1.0]), (2, [3.0, 4.0], None)],
+        "id bigint, tv array<double>, gv array<double>",
+    )
+    out = {
+        r["id"]: r.asDict()
+        for r in df.select(
+            "id",
+            simfn.fuse(F.col("tv"), F.col("gv"), alpha=0.5).alias("fused"),
+            simfn.l2_normalize(F.col("tv")).alias("unit"),
+        ).collect()
+    }
+    assert out[1]["fused"] == [0.5, 0.5]
+    assert out[2]["fused"] == [1.5, 2.0]  # alpha*text vs zeros fallback
+    assert abs(out[2]["unit"][0] - 0.6) < 1e-9 and abs(out[2]["unit"][1] - 0.8) < 1e-9

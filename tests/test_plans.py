@@ -76,3 +76,20 @@ def test_window_group_limit_pushdown(spark, sf001):
     q = entry_queries.queries()["top_orders_per_customer"](spark, sf001)
     plan = _plan(q)
     assert "WindowGroupLimit" in plan
+
+
+def test_partition_pruning_on_warc_day(spark, tmp_path):
+    """north_star: partition pruning on the crawl timestamp. Writing the
+    corpus partitioned by days(warc_ts) must let a day filter prune."""
+    from entity_deduplication_hack_main_spark.sources import corpus, sinks
+
+    docs = corpus.synthesize_corpus(spark, 300)
+    path = str(tmp_path / "corpus_part")
+    sinks.write_corpus_partitioned(docs, path)
+    back = sinks.read_corpus_partitioned(spark, path)
+    q = back.where(F.col("warc_day") == "2024-01-05").select("url")
+    plan = _plan(q)
+    assert "PartitionFilters" in plan and "warc_day" in plan.split(
+        "PartitionFilters"
+    )[1][:200]
+    assert q.count() > 0
