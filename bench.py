@@ -102,10 +102,10 @@ def main() -> None:
                          "cluster (one bus per node) would not — see BENCH.md")
     ap.add_argument("--pipeline-only", action="store_true")
     ap.add_argument("--cpus", type=int, default=None)
-    ap.add_argument("--ndocs", type=int, default=20000)
-    ap.add_argument("--size-mult", type=int, default=1,
-                    help="doc length multiplier (scaling bench uses 4: "
-                         "~900-token docs, realistic web-page length)")
+    ap.add_argument("--ndocs", type=int, default=200000)
+    ap.add_argument("--size-mult", type=int, default=4,
+                    help="doc length multiplier (4 => ~900-token docs, "
+                         "realistic web-page length)")
     args = ap.parse_args()
 
     cpus = args.cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -181,27 +181,21 @@ def main() -> None:
 
 
 def _write_bench_md(report: dict) -> None:
+    """Append the latest --scaling result to BENCH.md (never clobber the
+    curated analysis at the top)."""
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md")
-    with open(path, "w") as f:
-        f.write(
-            f"""# BENCH — scaling evidence (sandbox two-parallelism run)
-
-BASELINE.json requires throughput scaling efficiency >= 0.8 from N to 4N
-executors; the sandbox has one machine, so the evidence is the same dedup
-job (synthesize → MinHash/LSH + SimHash + winnow → verify → union-find) on
-the same {report['n_docs']}-doc corpus (size_mult={report.get('size_mult',1)},
-~900-token docs) at two parallelism levels
-(`python bench.py --scaling`, fresh JVM per level).
-
-| parallelism | wall sec | docs/sec |
-|---|---|---|
-| local[{report['levels'][0]}]  | {report['low']['wall_sec']} | {report['low']['docs_per_sec']} |
-| local[{report['levels'][1]}] | {report['high']['wall_sec']} | {report['high']['docs_per_sec']} |
-
-speedup ({report['levels'][0]}→{report['levels'][1]} cores, 4x): **{report['speedup']}x**
-scaling efficiency (speedup / 4): **{report['scaling_efficiency']}**
-"""
-        )
+    lo, hi = report["levels"]
+    section = (
+        f"\n## --scaling run: local[{lo}] vs local[{hi}], "
+        f"{report['n_docs']} docs (size_mult={report['size_mult']})\n\n"
+        f"| parallelism | wall sec | docs/sec |\n|---|---|---|\n"
+        f"| local[{lo}] | {report['low']['wall_sec']} | {report['low']['docs_per_sec']} |\n"
+        f"| local[{hi}] | {report['high']['wall_sec']} | {report['high']['docs_per_sec']} |\n\n"
+        f"speedup: **{report['speedup']}x**, scaling efficiency: "
+        f"**{report['scaling_efficiency']}**\n"
+    )
+    with open(path, "a") as f:
+        f.write(section)
 
 
 if __name__ == "__main__":

@@ -29,9 +29,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 LINEAGE_SCHEMA = (
-    "run_id string, stage string, file string, rows bigint, "
-    "wall_ms bigint, committed_at timestamp, resumed boolean"
+    "run_id string, stage string, file string, rows bigint, bytes bigint, "
+    "wall_ms bigint, resumed boolean, committed_at timestamp"
 )
+# NOTE: per-file bytes come from a local os.scandir; on HDFS/S3 swap
+# _list_files for the Hadoop FileSystem listStatus call (metadata-only
+# either way).
 
 
 class StageCommitter:
@@ -62,45 +65,69 @@ class StageCommitter:
         Without a workdir the stage output is cached instead of committed —
         downstream stages (and the iterative union-find) must not recompute
         the whole upstream lineage per action.
+
+        Committed path: the row count comes from the ``Observation`` API —
+        collected DURING the write job, zero extra pass over the data (the
+        previous per-file groupBy re-read every stage output — an extra
+        full scan per stage, prohibitive at 100 TB); per-file bytes come
+        from filesystem metadata only.
         """
         if self.workdir is None:
             return build().cache()
+        from pyspark.sql import Observation
+
         t0 = time.monotonic()
         resumed = self._committed(name)
+        rows = None
         if not resumed:
-            build().write.mode("overwrite").parquet(self._path(name))
+            obs = Observation(f"lineage_{name}")
+            df = build().observe(obs, F.count(F.lit(1)).alias("rows"))
+            df.write.mode("overwrite").parquet(self._path(name))
+            rows = obs.get["rows"]
         out = self.spark.read.parquet(self._path(name))
         wall_ms = int((time.monotonic() - t0) * 1000)
-        self._write_lineage(name, out, wall_ms, resumed)
+        self._write_lineage(name, rows, wall_ms, resumed)
         return out
 
-    def _write_lineage(
-        self, stage: str, out: DataFrame, wall_ms: int, resumed: bool
-    ) -> None:
-        # per-written-file rows + one `_total` row (so empty stages still
-        # appear in lineage — resume bookkeeping must see every stage)
-        total = out.agg(F.count("*").alias("rows")).select(
-            F.lit("_total").alias("file"), "rows"
+    def _list_files(self, stage: str) -> list[tuple[str, int]]:
+        path = self._path(stage)
+        return sorted(
+            (e.name, e.stat().st_size)
+            for e in os.scandir(path)
+            if e.name.endswith(".parquet")
         )
-        per_file = (
-            out.groupBy(F.input_file_name().alias("file"))
-            .agg(F.count("*").alias("rows"))
-            .unionByName(total)
-            .select(
-                F.lit(self.run_id).alias("run_id"),
-                F.lit(stage).alias("stage"),
-                "file",
-                "rows",
-                F.lit(wall_ms).alias("wall_ms"),
-                F.current_timestamp().alias("committed_at"),
-                F.lit(resumed).alias("resumed"),
+
+    def _write_lineage(
+        self, stage: str, rows: int | None, wall_ms: int, resumed: bool
+    ) -> None:
+        files = self._list_files(stage)
+        recs = [
+            (self.run_id, stage, f, None, int(sz), wall_ms, resumed)
+            for f, sz in files
+        ]
+        # `_total` row carries the observed row count (None on resume) so
+        # empty stages still appear in lineage
+        recs.append(
+            (
+                self.run_id,
+                stage,
+                "_total",
+                int(rows) if rows is not None else None,
+                sum(sz for _, sz in files),
+                wall_ms,
+                resumed,
             )
         )
-        per_file.write.mode("append").parquet(
+        df = self.spark.createDataFrame(
+            recs,
+            "run_id string, stage string, file string, rows bigint, "
+            "bytes bigint, wall_ms bigint, resumed boolean",
+        ).withColumn("committed_at", F.current_timestamp())
+        df.coalesce(1).write.mode("append").parquet(
             os.path.join(self.workdir, "_lineage")
         )
         self.events.append(
-            {"stage": stage, "wall_ms": wall_ms, "resumed": resumed}
+            {"stage": stage, "rows": rows, "wall_ms": wall_ms, "resumed": resumed}
         )
 
     def lineage(self) -> DataFrame | None:
