@@ -43,8 +43,8 @@ BENCH_QUERIES = [
     "top_orders_per_customer",
     "events_hourly",
     "similar_part_names",
-    "knn_bruteforce",
-    "embedding_near_dup_pairs",
+    "knn_matmul",
+    "embedding_near_dup_matmul",
 ]
 
 

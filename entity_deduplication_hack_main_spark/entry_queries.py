@@ -566,11 +566,16 @@ SELECT a.p_partkey AS id1, b.p_partkey AS id2,
        levenshtein(a.p_name, b.p_name) AS lev
 FROM part a JOIN part b
   ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
-WHERE levenshtein(a.p_name, b.p_name) <= 4
+WHERE abs(length(a.p_name) - length(b.p_name)) <= 4
+  AND levenshtein(a.p_name, b.p_name) <= 4
 """,
 )
 def similar_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P6 blocked string-similarity join (brand = blocking key, J1)."""
+    """P6 blocked string-similarity join (brand = blocking key, J1).
+
+    Length-band prefilter: |len(a)-len(b)| > k ⟹ levenshtein > k, so the
+    cheap length check prunes pairs before the O(n·m) edit distance —
+    semantically identical, ~2x fewer levenshtein evaluations."""
     p = _t(spark, sf_dir, "part")
     a = p.select(
         F.col("p_partkey").alias("id1"),
@@ -584,7 +589,10 @@ def similar_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         a.join(b, "brand")
-        .where(F.col("id1") < F.col("id2"))
+        .where(
+            (F.col("id1") < F.col("id2"))
+            & (F.abs(F.length("n1") - F.length("n2")) <= 4)
+        )
         .select("id1", "id2", F.levenshtein("n1", "n2").alias("lev"))
         .where(F.col("lev") <= 4)
     )
@@ -619,6 +627,22 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     probes = emb.where(F.col("vec_id") % 10 == 0)
     return knn_op.brute_force_knn(probes, emb, k=5)
+
+
+@register("embedding_near_dup_matmul", None)  # rows-only: matmul fp order
+def embedding_near_dup_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Throughput variant of the near-dup channel (blocked matmul)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_op.embedding_near_dup_pairs_matmul(emb, threshold=0.3)
+
+
+@register("knn_matmul", None)  # rows-only check: matmul fp order ≠ SQL fold
+def knn_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Throughput ANN baseline: batched-matmul exact top-5 (scale path;
+    see knn.brute_force_knn_matmul float note)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") % 10 == 0)
+    return knn_op.brute_force_knn_matmul(probes, emb, k=5)
 
 
 @register(

@@ -55,12 +55,34 @@ def test_entry_smoke(spark, entry_mod):
     assert len(rows) > 0
 
 
+# rows-only checked (documented): matmul float summation order differs from
+# a sequential SQL fold at ~1e-15, so no bit-exact oracle exists
+ROWS_ONLY = {"knn_matmul", "embedding_near_dup_matmul"}
+
+
 def test_every_query_has_callable_and_oracle_keys(entry_mod):
     qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
     assert len(qs) >= 20
     assert set(osql) <= set(qs)
-    # every oracle-less query is an explicit, documented exception
-    assert set(qs) == set(osql), "all current queries are SQL-expressible"
+    assert set(qs) - set(osql) == ROWS_ONLY
+
+
+def test_knn_matmul_agrees_with_exact(spark, sf001, entry_mod):
+    """The throughput kNN must return the same neighbor sets as the
+    bit-exact scorer (scores may differ in the last ulp)."""
+    exact = entry_mod.queries()["knn_bruteforce"](spark, sf001)
+    fast = entry_mod.queries()["knn_matmul"](spark, sf001)
+    e = {(r["probe_id"], r["neighbor_id"]) for r in exact.collect()}
+    f = {(r["probe_id"], r["neighbor_id"]) for r in fast.collect()}
+    assert e == f
+
+
+def test_near_dup_matmul_agrees_with_exact(spark, sf001, entry_mod):
+    exact = entry_mod.queries()["embedding_near_dup_pairs"](spark, sf001)
+    fast = entry_mod.queries()["embedding_near_dup_matmul"](spark, sf001)
+    e = {(r["id1"], r["id2"]) for r in exact.collect()}
+    f = {(r["id1"], r["id2"]) for r in fast.collect()}
+    assert e == f
 
 
 @pytest.mark.parametrize(
