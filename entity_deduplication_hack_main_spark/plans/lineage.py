@@ -29,8 +29,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 LINEAGE_SCHEMA = (
-    "run_id string, stage string, file string, rows bigint, bytes bigint, "
-    "wall_ms bigint, resumed boolean, committed_at timestamp"
+    "run_id string, stage string, file string, input_rows bigint, "
+    "rows bigint, bytes bigint, wall_ms bigint, resumed boolean, "
+    "committed_at timestamp"
 )
 # NOTE: per-file bytes come from a local os.scandir; on HDFS/S3 swap
 # _list_files for the Hadoop FileSystem listStatus call (metadata-only
@@ -51,6 +52,8 @@ class StageCommitter:
         self.workdir = workdir
         self.run_id = run_id
         self.events: list[dict] = []
+        self._prev_rows: int | None = None  # previous stage's observed rows
+        #                                     = this stage's input count
 
     def _path(self, stage: str) -> str:
         assert self.workdir is not None
@@ -87,6 +90,7 @@ class StageCommitter:
         out = self.spark.read.parquet(self._path(name))
         wall_ms = int((time.monotonic() - t0) * 1000)
         self._write_lineage(name, rows, wall_ms, resumed)
+        self._prev_rows = int(rows) if rows is not None else None
         return out
 
     def _list_files(self, stage: str) -> list[tuple[str, int]]:
@@ -102,16 +106,17 @@ class StageCommitter:
     ) -> None:
         files = self._list_files(stage)
         recs = [
-            (self.run_id, stage, f, None, int(sz), wall_ms, resumed)
+            (self.run_id, stage, f, None, None, int(sz), wall_ms, resumed)
             for f, sz in files
         ]
-        # `_total` row carries the observed row count (None on resume) so
-        # empty stages still appear in lineage
+        # `_total` row carries observed input/output row counts (None on
+        # resume) so empty stages still appear in lineage
         recs.append(
             (
                 self.run_id,
                 stage,
                 "_total",
+                self._prev_rows,
                 int(rows) if rows is not None else None,
                 sum(sz for _, sz in files),
                 wall_ms,
@@ -120,8 +125,8 @@ class StageCommitter:
         )
         df = self.spark.createDataFrame(
             recs,
-            "run_id string, stage string, file string, rows bigint, "
-            "bytes bigint, wall_ms bigint, resumed boolean",
+            "run_id string, stage string, file string, input_rows bigint, "
+            "rows bigint, bytes bigint, wall_ms bigint, resumed boolean",
         ).withColumn("committed_at", F.current_timestamp())
         df.coalesce(1).write.mode("append").parquet(
             os.path.join(self.workdir, "_lineage")
