@@ -598,6 +598,91 @@ def similar_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "exact_dup_group_count",
+    """
+SELECT count(*) AS n_groups, coalesce(sum(n), 0)::BIGINT AS n_docs_in_groups
+FROM (
+  SELECT md5(trim(regexp_replace(lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g'))) AS fp,
+         count(*) AS n
+  FROM documents GROUP BY 1 HAVING count(*) > 1
+)
+""",
+)
+def exact_dup_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 match counting over exact-dup groups."""
+    docs = _t(spark, sf_dir, "documents")
+    groups = (
+        docs.groupBy(textstats.fingerprint(F.col("text")).alias("fp"))
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > 1)
+    )
+    return groups.agg(
+        F.count("*").alias("n_groups"),
+        F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_docs_in_groups"),
+    )
+
+
+@register(
+    "event_sessions",
+    """
+WITH _lag AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+_marked AS (
+  SELECT user_id, ts,
+         CASE WHEN prev_ts IS NULL
+                   OR floor(epoch(ts))::BIGINT - floor(epoch(prev_ts))::BIGINT > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM _lag
+),
+_sess AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM _marked
+)
+SELECT user_id, session_id::BIGINT AS session_id,
+       count(*) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+FROM _sess GROUP BY user_id, session_id
+""",
+)
+def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) — lag + running-sum
+    windows, the batch shape of stateful streaming sessionization."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = e.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+                > 1800
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    ws = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sess = marked.select(
+        "user_id", "ts", F.sum("new_s").over(ws).alias("session_id")
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+    )
+
+
 # ===========================================================================
 # D. Embedding similarity (E6/E7 analog + ANN)
 # ===========================================================================

@@ -97,7 +97,7 @@ def test_near_dup_matmul_agrees_with_exact(spark, sf001, entry_mod):
         "quality_scores", "q1_pricing_summary", "top_orders_per_customer",
         "revenue_by_nation", "customers_without_orders", "events_hourly",
         "purchasers_without_errors", "similar_part_names", "knn_bruteforce",
-        "embedding_near_dup_pairs",
+        "embedding_near_dup_pairs", "exact_dup_group_count", "event_sessions",
     ],
 )
 def test_query_matches_oracle(spark, sf001, entry_mod, duck, name):
