@@ -32,19 +32,72 @@ def _checksum(labels: DataFrame) -> int:
     return hash((str(row["c"]), row["n"]))
 
 
+def _local_union_find(edge_rows, vertices_df) -> list[tuple]:
+    """Driver-side union-find with path compression; labels = min member.
+    Used when the edge set fits in driver memory — identical output to the
+    distributed loop (min-id labels), none of its per-iteration shuffles."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            nxt = parent[x]
+            parent[x] = root
+            x = nxt
+        return root
+
+    def union(x, y):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            # union by min keeps the final relabel trivial
+            lo, hi = (rx, ry) if rx < ry else (ry, rx)
+            parent[hi] = lo
+
+    nodes = set()
+    for r in edge_rows:
+        union(r[0], r[1])
+        nodes.add(r[0])
+        nodes.add(r[1])
+    if vertices_df is not None:
+        nodes.update(r[0] for r in vertices_df.collect())
+    return [(n, find(n)) for n in nodes]
+
+
 def connected_components(
     edges: DataFrame,
     vertices: DataFrame | None = None,
     config: DedupConfig | None = None,
     use_reliable_checkpoint: bool = False,
+    local_threshold: int = 2_000_000,
 ) -> DataFrame:
     """(node, cluster_id): cluster_id = min node id in the component.
 
     edges: (id1, id2) distinct undirected pairs. vertices: optional (id)
     universe — isolated vertices become singleton clusters.
     Works for any orderable id type (string urls or bigint doc ids).
+
+    Hybrid execution: if the edge count is under ``local_threshold`` the
+    components are solved with a driver-side union-find (milliseconds,
+    exact same labels) — the common case after verification, since dup
+    edges are a small fraction of docs. Above the threshold the iterative
+    distributed loop runs (the 10^12-doc path). Set ``local_threshold=0``
+    to force the distributed path.
     """
     config = config or DedupConfig()
+    if local_threshold and edges.count() <= local_threshold:
+        spark = edges.sparkSession
+        rows = _local_union_find(
+            edges.select("id1", "id2").collect(),
+            vertices.toDF("node").select("node") if vertices is not None else None,
+        )
+        schema = "node {t}, cluster_id {t}".format(
+            t=edges.schema["id1"].dataType.simpleString()
+        )
+        if not rows:
+            return spark.createDataFrame([], schema)
+        return spark.createDataFrame(rows, schema)
     def ckpt(df: DataFrame) -> DataFrame:
         if use_reliable_checkpoint:
             return df.checkpoint(eager=True)

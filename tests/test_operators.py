@@ -205,3 +205,27 @@ def test_vector_fusion_and_normalize(spark):
     assert out[1]["fused"] == [0.5, 0.5]
     assert out[2]["fused"] == [1.5, 2.0]  # alpha*text vs zeros fallback
     assert abs(out[2]["unit"][0] - 0.6) < 1e-9 and abs(out[2]["unit"][1] - 0.8) < 1e-9
+
+
+def test_local_and_distributed_cc_identical(spark):
+    """Hybrid CC: driver-side union-find must produce exactly the
+    distributed loop's labels (min member id per component)."""
+    import random
+
+    random.seed(11)
+    edges = spark.createDataFrame(
+        [(random.randrange(400), random.randrange(400)) for _ in range(300)],
+        "id1 bigint, id2 bigint",
+    ).where(F.col("id1") != F.col("id2"))
+    verts = spark.range(0, 400).toDF("id")
+    local = {
+        (r["node"], r["cluster_id"])
+        for r in cluster.connected_components(edges, verts).collect()
+    }
+    dist = {
+        (r["node"], r["cluster_id"])
+        for r in cluster.connected_components(
+            edges, verts, local_threshold=0
+        ).collect()
+    }
+    assert local == dist
