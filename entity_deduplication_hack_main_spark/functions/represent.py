@@ -150,10 +150,14 @@ def _shingle_hashes(
     if short.any():
         j_in_row = np.arange(total) - np.repeat(offsets, lengths)
         terms = coeffs64[np.minimum(j_in_row, k - 1)] * flat_th
-        safe_off = np.minimum(offsets, max(total - 1, 0))
-        row_sums = np.add.reduceat(terms, safe_off)
-        # reduceat needs monotone offsets; rows with length 0 reuse the next
-        # segment's value — only rows flagged `short` are read back.
+        # One zero pad element so offsets stay UNCLAMPED: a zero-length row
+        # at the tail has offsets == total, which indexes the pad (value 0)
+        # instead of stealing the previous row's last term (clamping to
+        # total-1 silently truncated the preceding row's segment). Rows with
+        # length 0 mid-batch read the next segment's first term — harmless,
+        # only rows flagged `short` (length >= 1) are read back.
+        terms = np.concatenate([terms, np.zeros(1, dtype=np.uint64)])
+        row_sums = np.add.reduceat(terms, offsets)
         flat_sh[sh_offsets[short]] = row_sums[short]
     return flat_sh, m, sh_offsets
 
@@ -222,9 +226,10 @@ def _winnow(
         parts_vals.append(v0)
     shorties = sh_lengths < window
     if shorties.any():
-        mins_all = np.minimum.reduceat(
-            flat, np.minimum(sh_offsets, max(total - 1, 0))
-        )
+        # sh_offsets are strictly increasing and < total (every row emits
+        # >= 1 shingle: m = max(len-k+1, 1)), so no clamping/padding issues
+        # here — unlike the token-level offsets in _shingle_hashes/_simhash.
+        mins_all = np.minimum.reduceat(flat, sh_offsets)
         parts_rows.append(np.arange(n_rows)[shorties])
         parts_vals.append(mins_all[shorties])
     rows = np.concatenate(parts_rows) if parts_rows else np.zeros(0, np.int64)
@@ -257,14 +262,16 @@ def _simhash(
     fp = np.zeros(n_rows, dtype=np.uint64)
     if flat_th.shape[0] == 0:
         return fp.astype(np.int64)
-    safe_offsets = np.minimum(offsets, flat_th.shape[0] - 1)
     # bit j of the fingerprint is 1 iff ones-count(j) * 2 > tokens in row
-    # (sum of ±1 > 0) — one reusable buffer per bit, contiguous ops only
-    tmp = np.empty_like(flat_th)
+    # (sum of ±1 > 0) — one reusable buffer per bit, contiguous ops only.
+    # The buffer carries one zero pad element so reduceat offsets stay
+    # UNCLAMPED: trailing zero-length rows (offsets == total) index the pad
+    # instead of truncating the previous row's segment at total-1.
+    tmp = np.zeros(flat_th.shape[0] + 1, dtype=np.uint64)
     for j in range(nbits):
-        np.right_shift(flat_th, np.uint64(j), out=tmp)
-        tmp &= np.uint64(1)
-        ones = np.add.reduceat(tmp, safe_offsets)
+        np.right_shift(flat_th, np.uint64(j), out=tmp[:-1])
+        tmp[:-1] &= np.uint64(1)
+        ones = np.add.reduceat(tmp, offsets)
         ones[lengths == 0] = 0
         fp |= (2 * ones > lengths.astype(np.uint64)).astype(np.uint64) << np.uint64(j)
     return fp.astype(np.int64)

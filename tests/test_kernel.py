@@ -109,6 +109,52 @@ def test_winnow_guarantee_shared_run(spark):
     assert set(rows[0]["winnow_fps"]) & set(rows[1]["winnow_fps"])
 
 
+def test_empty_rows_do_not_corrupt_neighbors(spark):
+    """Regression (ADVICE r01, high): reduceat offsets clamped to total-1
+    truncated the previous row's segment whenever trailing rows had zero
+    tokens — a short doc followed by an empty doc got a wrong shingle hash
+    and a wrong simhash. Representations must be position-independent."""
+    texts = ["one two", "", "one", "", ""]
+    batched = _repr_rows(texts, CFG, spark)
+    for i, t in enumerate(texts):
+        alone = _repr_rows([t], CFG, spark)[0]
+        for col in ("shingle_set", "signature", "winnow_fps", "simhash"):
+            assert batched[i][col] == alone[col], (
+                f"doc {i} ({t!r}) {col} depends on batch layout"
+            )
+
+
+def test_kernel_numpy_paths_empty_row_layouts():
+    """Direct numpy checks of _shingle_hashes/_simhash across empty-row
+    placements (leading / mid / trailing / all-empty)."""
+    coeffs = represent.shingle_coeffs64(CFG)
+    layouts = [
+        ([2, 0], [11, 22]),
+        ([0, 2], [11, 22]),
+        ([2, 0, 1], [11, 22, 33]),
+        ([0, 0], []),
+        ([1, 0, 0], [7]),
+    ]
+    for lengths, flat in layouts:
+        lengths = np.array(lengths, dtype=np.int64)
+        flat = np.array(flat, dtype=np.uint64)
+        offsets = np.zeros(len(lengths), dtype=np.int64)
+        np.cumsum(lengths[:-1], out=offsets[1:])
+        sh, m, _ = represent._shingle_hashes(flat, lengths, offsets, coeffs)
+        sim = represent._simhash(flat, lengths, offsets, 8)
+        pos = 0
+        for r, n in enumerate(lengths):
+            row = flat[pos : pos + n]
+            one_sh, _, _ = represent._shingle_hashes(
+                row, np.array([n]), np.array([0]), coeffs
+            )
+            one_sim = represent._simhash(row, np.array([n]), np.array([0]), 8)
+            s0 = int(np.cumsum(np.concatenate([[0], m]))[r])
+            assert sh[s0] == one_sh[0], (lengths.tolist(), r, "shingle")
+            assert sim[r] == one_sim[0], (lengths.tolist(), r, "simhash")
+            pos += n
+
+
 def test_kernel_matches_duckdb_oracle(spark, sf001):
     """Cross-engine bit-identity on driver testdata (md5 strategy)."""
     import duckdb
