@@ -10,16 +10,7 @@ queries, and the pytest golden suite — the BASELINE.json north_rule requires
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-
-import numpy as np
-
-# Mersenne prime 2^31 - 1. Every shingle hash / permutation coefficient /
-# signature value lives in [0, P31). Keeping values under 2^31 means
-# a*h + b < 2^62 is exact in BOTH numpy uint64 (pandas-UDF kernels) and
-# signed 64-bit SQL integers (Spark BIGINT, DuckDB BIGINT) — which is what
-# makes the DuckDB oracle byte-reproducible against the Arrow kernels.
-P31 = 2_147_483_647
+from dataclasses import dataclass
 
 
 @dataclass(frozen=True)
@@ -56,17 +47,9 @@ class DedupConfig:
                 f"must equal num_perms ({self.num_perms})"
             )
 
-    # --- derived, deterministic permutation table ------------------------
-    def permutations(self) -> tuple[np.ndarray, np.ndarray]:
-        """(a, b) coefficient vectors for sig_i = min((a_i*h + b_i) mod P31).
-
-        Seeded PCG64 — identical on every executor, every run, and inlined
-        verbatim into the DuckDB oracle SQL (functions/represent.py).
-        """
-        rng = np.random.default_rng(self.seed)
-        a = rng.integers(1, P31, size=self.num_perms, dtype=np.uint64)
-        b = rng.integers(0, P31, size=self.num_perms, dtype=np.uint64)
-        return a, b
+    # The MinHash permutation table itself lives next to the kernel that
+    # consumes it (functions/represent.py minhash_perms64): 64-bit
+    # multiply-shift permutations mod 2^64, seeded off (seed, 779).
 
 
 DEFAULT_CONFIG = DedupConfig()

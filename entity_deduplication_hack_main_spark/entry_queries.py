@@ -627,20 +627,22 @@ def exact_dup_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "event_sessions",
     """
 WITH _lag AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
   FROM events
 ),
 _marked AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN prev_ts IS NULL
                    OR floor(epoch(ts))::BIGINT - floor(epoch(prev_ts))::BIGINT > 1800
               THEN 1 ELSE 0 END AS new_s
   FROM _lag
 ),
 _sess AS (
+  -- event_id tiebreak keeps the prefix sum total-ordered: rows tied on ts
+  -- would otherwise sum in engine-dependent order and flake the oracle
   SELECT user_id, ts,
-         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS UNBOUNDED PRECEDING) AS session_id
   FROM _marked
 )
@@ -658,6 +660,7 @@ def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     marked = e.select(
         "user_id",
         "ts",
+        "event_id",
         F.when(
             F.lag("ts").over(w).isNull()
             | (
@@ -669,9 +672,11 @@ def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("new_s"),
     )
+    # event_id tiebreak: a total order makes the running sum deterministic
+    # for rows tied on ts (oracle-flake fix, ADVICE r01)
     ws = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     sess = marked.select(

@@ -2,7 +2,9 @@
 
 Production hot path uses ``xxhash64`` (JVM, whole-stage codegen, no Python).
 The oracle path derives a 60-bit integer from ``md5`` hex — the one hash both
-Spark and DuckDB compute identically — then folds it into [0, P31).
+Spark and DuckDB compute identically. Downstream arithmetic (shingle
+polynomials, MinHash multiply-shift) happens mod 2^64 in the Arrow kernel
+(functions/represent.py).
 
 Reference parity: the reference never hashes (2.6k entities fit in RAM);
 hashing is the scale substrate that replaces its in-memory dict blocking
@@ -14,8 +16,6 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from entity_deduplication_hack_main_spark.config import P31
-
 # --- Spark side -----------------------------------------------------------
 
 
@@ -24,23 +24,9 @@ def md5_long(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 
-def md5_mod_p(col: Column) -> Column:
-    """md5-derived hash folded into [0, P31) — the MinHash shingle domain."""
-    return md5_long(col) % F.lit(P31)
-
-
-def xxhash_mod_p(col: Column) -> Column:
-    """Production shingle hash: xxhash64 folded into [0, P31). JVM-only."""
-    return F.pmod(F.xxhash64(col), F.lit(P31))
-
-
 # --- DuckDB oracle side ---------------------------------------------------
 
 
 def sql_md5_long(expr: str) -> str:
     """DuckDB rendering of :func:`md5_long` over SQL expression *expr*."""
     return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
-
-
-def sql_md5_mod_p(expr: str) -> str:
-    return f"({sql_md5_long(expr)} % {P31})"

@@ -49,22 +49,21 @@ def sql_norm_levenshtein_sim(a: str, b: str) -> str:
 
 
 def acronym(col: Column) -> Column:
-    """First letters of whitespace-separated words, uppercased
-    (similarity_utils.py:42-47)."""
-    words = F.filter(F.split(col, r"\s+"), lambda w: w != F.lit(""))
+    """First character of each word-character run, uppercased — parity with
+    the reference's ``re.findall(r'\\b\\w', s)`` (similarity_utils.py:46-47):
+    hyphenated/punctuated tokens each contribute ("foo-bar" → "FB"). The
+    (?U) flag gives Java regex the same Unicode \\w as Python's re."""
+    words = F.filter(F.split(col, r"(?U)\W+"), lambda w: w != F.lit(""))
     return F.upper(F.array_join(F.transform(words, lambda w: F.substring(w, 1, 1)), ""))
 
 
 def acronym_match(a: Column, b: Column) -> Column:
     """True iff acronym(a) == collapse(b) or acronym(b) == collapse(a)
-    (similarity_utils.py:77-80). Only meaningful for multi-word inputs."""
-    collapse_a = F.upper(F.regexp_replace(a, r"\s+", ""))
-    collapse_b = F.upper(F.regexp_replace(b, r"\s+", ""))
-    multi_a = F.size(F.split(F.trim(a), r"\s+")) > 1
-    multi_b = F.size(F.split(F.trim(b), r"\s+")) > 1
-    return (multi_a & (acronym(a) == collapse_b)) | (
-        multi_b & (acronym(b) == collapse_a)
-    )
+    (similarity_utils.py:79-80). Collapse removes literal spaces only, and
+    single-word values participate too — both exactly as the reference."""
+    collapse_a = F.upper(F.regexp_replace(a, r" ", ""))
+    collapse_b = F.upper(F.regexp_replace(b, r" ", ""))
+    return (acronym(a) == collapse_b) | (acronym(b) == collapse_a)
 
 
 def acronym_boosted_sim(sim: Column, a: Column, b: Column) -> Column:

@@ -83,8 +83,16 @@ def sql_hamming_pairs(
 
     width = 60 // config.simhash_blocks
     mask = (1 << width) - 1
+    # _s left-joins back to the doc table: sql_simhash unnests tokens, so
+    # zero-token docs vanish from it, while the Spark kernel assigns them
+    # simhash 0 and pairs them at Hamming 0 — mirror simhash_fingerprints'
+    # coalesce so the pair oracle covers empty-normalized docs too.
     return f"""
-WITH _s AS ({sql_simhash(doc_table, id_col, text_col)}),
+WITH _s0 AS ({sql_simhash(doc_table, id_col, text_col)}),
+_s AS (
+  SELECT d.{id_col} AS id, coalesce(s.simhash, 0)::BIGINT AS simhash
+  FROM {doc_table} d LEFT JOIN _s0 s ON d.{id_col} = s.id
+),
 _blocks AS (
   SELECT id, simhash, b.block_id,
          (simhash >> (b.block_id * {width})) & {mask} AS block_key

@@ -12,7 +12,7 @@ import numpy as np
 import pandas as pd
 import pytest
 
-from entity_deduplication_hack_main_spark.config import P31, DedupConfig
+from entity_deduplication_hack_main_spark.config import DedupConfig
 from entity_deduplication_hack_main_spark.functions import represent
 
 
@@ -65,7 +65,7 @@ def test_signature_shape_and_determinism(spark):
     assert len(sig) == CFG.num_perms
     assert sig == rows[1]["signature"]
     # full-range int64 domain (multiply-shift mod 2^64, signed view)
-    assert any(v < 0 for v in sig) or any(v > P31 for v in sig)
+    assert any(v < 0 for v in sig) or any(v > 2**31 for v in sig)
 
 
 def test_minhash_estimates_jaccard(spark):

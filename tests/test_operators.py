@@ -146,6 +146,40 @@ def test_norm_levenshtein_and_acronym(spark):
     assert out[2]["am"] is True and out[0]["am"] is False
 
 
+def test_acronym_reference_parity(spark):
+    """acronym == reference get_acronym (re.findall(r'\\b\\w', s), i.e.
+    hyphenated/punctuated tokens contribute), and the boost predicate has
+    no multi-word gate (single-char values can match their own collapse) —
+    similarity_utils.py:46-47, 79-80."""
+    import re
+
+    def ref_acr(s: str) -> str:
+        return "".join(re.findall(r"\b\w", s)).upper()
+
+    vals = [
+        ("foo-bar baz", "fbb"),
+        ("general hospital", "gh"),
+        ("a.b.c", "abc"),
+        ("x", "x"),
+        ("o'neil park", "onp"),
+        ("foo-bar", "fb"),
+        ("plain words", "nope"),
+    ]
+    df = spark.createDataFrame(vals, "a string, b string")
+    got = df.select(
+        "a", "b",
+        simfn.acronym(F.col("a")).alias("ac"),
+        simfn.acronym_match(F.col("a"), F.col("b")).alias("am"),
+    ).collect()
+    for r in got:
+        assert r["ac"] == ref_acr(r["a"]), r["a"]
+        expect = (
+            ref_acr(r["a"]) == r["b"].replace(" ", "").upper()
+            or ref_acr(r["b"]) == r["a"].replace(" ", "").upper()
+        )
+        assert r["am"] == expect, (r["a"], r["b"])
+
+
 def test_adaptive_threshold_matches_reference(spark):
     """similarity_utils.py:49-54 lookup values."""
     df = spark.createDataFrame([(n,) for n in range(1, 7)], "n int")
