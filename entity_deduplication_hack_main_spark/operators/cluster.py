@@ -32,10 +32,11 @@ def _checksum(labels: DataFrame) -> int:
     return hash((str(row["c"]), row["n"]))
 
 
-def _local_union_find(edge_rows, vertices_df) -> list[tuple]:
-    """Driver-side union-find with path compression; labels = min member.
-    Used when the edge set fits in driver memory — identical output to the
-    distributed loop (min-id labels), none of its per-iteration shuffles."""
+def _local_union_find(edge_rows) -> list[tuple]:
+    """Driver-side union-find with path compression over EDGE ENDPOINTS
+    ONLY; labels = min member. Identical labels to the distributed loop for
+    every edge-touched node — isolated vertices never reach the driver
+    (they are attached distributedly as singletons by the caller)."""
     parent: dict = {}
 
     def find(x):
@@ -60,8 +61,6 @@ def _local_union_find(edge_rows, vertices_df) -> list[tuple]:
         union(r[0], r[1])
         nodes.add(r[0])
         nodes.add(r[1])
-    if vertices_df is not None:
-        nodes.update(r[0] for r in vertices_df.collect())
     return [(n, find(n)) for n in nodes]
 
 
@@ -79,25 +78,42 @@ def connected_components(
     Works for any orderable id type (string urls or bigint doc ids).
 
     Hybrid execution: if the edge count is under ``local_threshold`` the
-    components are solved with a driver-side union-find (milliseconds,
-    exact same labels) — the common case after verification, since dup
-    edges are a small fraction of docs. Above the threshold the iterative
-    distributed loop runs (the 10^12-doc path). Set ``local_threshold=0``
-    to force the distributed path.
+    edge-touched components are solved with a driver-side union-find
+    (milliseconds, exact same labels) and the vertex universe NEVER leaves
+    the cluster — singletons are attached by a distributed left join with
+    ``coalesce(label, node)``. This is the common case after verification
+    (dup edges ≪ docs): a 10^12-doc corpus with 1M dup edges collects 1M
+    rows, not 10^12. The gate is a ``limit(threshold+1).collect()`` — one
+    early-stopping action, no separate count pass re-running the edge
+    lineage. Above the threshold the iterative distributed loop runs.
+    Set ``local_threshold=0`` to force the distributed path.
     """
     config = config or DedupConfig()
-    if local_threshold and edges.count() <= local_threshold:
+    head = None
+    if local_threshold:
+        head = edges.select("id1", "id2").limit(local_threshold + 1).collect()
+    if head is not None and len(head) <= local_threshold:
         spark = edges.sparkSession
-        rows = _local_union_find(
-            edges.select("id1", "id2").collect(),
-            vertices.toDF("node").select("node") if vertices is not None else None,
+        t = edges.schema["id1"].dataType.simpleString()
+        schema = f"node {t}, cluster_id {t}"
+        rows = _local_union_find(head)
+        labels = (
+            spark.createDataFrame(rows, schema)
+            if rows
+            else spark.createDataFrame([], schema)
         )
-        schema = "node {t}, cluster_id {t}".format(
-            t=edges.schema["id1"].dataType.simpleString()
+        if vertices is None:
+            return labels
+        universe = (
+            vertices.toDF("node")
+            .select("node")
+            .unionByName(labels.select("node"))
+            .distinct()
         )
-        if not rows:
-            return spark.createDataFrame([], schema)
-        return spark.createDataFrame(rows, schema)
+        lbl = labels.withColumnRenamed("cluster_id", "_lbl")
+        return universe.join(F.broadcast(lbl), "node", "left").select(
+            "node", F.coalesce("_lbl", "node").alias("cluster_id")
+        )
     def ckpt(df: DataFrame) -> DataFrame:
         if use_reliable_checkpoint:
             return df.checkpoint(eager=True)

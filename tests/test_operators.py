@@ -105,6 +105,32 @@ def test_lsh_knn_recall_vs_bruteforce(spark, sf001):
     assert recall >= 0.3, f"ANN recall {recall} suspiciously low"
 
 
+def test_embedding_near_dup_lsh_recall(spark):
+    """Production near-dup channel (hyperplane buckets, no label column):
+    recall >= 0.95 vs the exact crossJoin twin on clustered vectors, and
+    zero false positives (candidates are exact-cosine verified)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((150, 32))
+    rows, vid = [], 0
+    for i in range(150):
+        rows.append((vid, base[i].tolist()))
+        vid += 1
+        noise = rng.standard_normal(32) * 0.12  # cosine ~0.99 vs base
+        rows.append((vid, (base[i] + noise).tolist()))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    exact = knn.embedding_near_dup_pairs(df, threshold=0.9)
+    got = knn.embedding_near_dup_lsh(df, dim=32, threshold=0.9)
+    e = {(r["id1"], r["id2"]) for r in exact.collect()}
+    g = {(r["id1"], r["id2"]) for r in got.collect()}
+    assert len(e) >= 140  # the planted pairs are really there
+    assert g <= e, "LSH path produced a pair the exact path rejects"
+    recall = len(g & e) / len(e)
+    assert recall >= 0.95, f"near-dup LSH recall {recall}"
+
+
 def test_pair_metrics_with_carveout(spark):
     matched = spark.createDataFrame(
         [(1, 2), (3, 4), (5, 6)], "id1 bigint, id2 bigint"
@@ -239,6 +265,34 @@ def test_vector_fusion_and_normalize(spark):
     assert out[1]["fused"] == [0.5, 0.5]
     assert out[2]["fused"] == [1.5, 2.0]  # alpha*text vs zeros fallback
     assert abs(out[2]["unit"][0] - 0.6) < 1e-9 and abs(out[2]["unit"][1] - 0.8) < 1e-9
+
+
+def test_hybrid_uf_never_collects_vertices(spark, monkeypatch):
+    """VERDICT r01 #1 regression: the hybrid fast path must collect edge
+    rows only — the vertex universe (all docs in the pipeline) stays
+    distributed, with singletons attached via left join + coalesce."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id1 bigint, id2 bigint"
+    )
+    verts = spark.range(0, 50_000).toDF("id")
+    collected_sizes: list[int] = []
+    impl = type(edges)  # Spark 4: patch the concrete class, not the facade
+    orig = impl.collect
+
+    def spy(self):
+        rows = orig(self)
+        collected_sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(impl, "collect", spy)
+    out = cluster.connected_components(edges, verts)
+    labels = {r["node"]: r["cluster_id"] for r in orig(out)}
+    # exactly one driver materialization: the bounded edge head — never the
+    # 50k vertices
+    assert collected_sizes == [3]
+    assert labels[1] == labels[2] == labels[3] == 1
+    assert labels[10] == labels[11] == 10
+    assert labels[49_999] == 49_999 and len(labels) == 50_000
 
 
 def test_local_and_distributed_cc_identical(spark):
