@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "similar_part_names",
     "knn_matmul",
     "embedding_near_dup_matmul",
+    "embedding_near_dup_lsh",
 ]
 
 

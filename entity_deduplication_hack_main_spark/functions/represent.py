@@ -369,9 +369,12 @@ def representation_map(
                 ["id", "fp", "shingle_set", "signature", "winnow_fps", "simhash"],
             )
 
+    # id passes through untouched — emit whatever type came in (bigint doc
+    # ids in the batch pipeline, string urls in streaming ingest)
+    id_t = df.schema[df.columns[0]].dataType.simpleString()
     return df.mapInArrow(
         fn,
-        "id bigint, fp string, shingle_set array<bigint>, "
+        f"id {id_t}, fp string, shingle_set array<bigint>, "
         "signature array<bigint>, winnow_fps array<bigint>, simhash bigint",
     )
 
