@@ -33,9 +33,9 @@ LINEAGE_SCHEMA = (
     "rows bigint, bytes bigint, wall_ms bigint, resumed boolean, "
     "committed_at timestamp"
 )
-# NOTE: per-file bytes come from a local os.scandir; on HDFS/S3 swap
-# _list_files for the Hadoop FileSystem listStatus call (metadata-only
-# either way).
+# Existence/listing checks go through the Hadoop FileSystem (plans/fsutil)
+# so resume works on s3a://-style workdirs, not just local paths
+# (metadata-only either way).
 
 
 class StageCommitter:
@@ -60,7 +60,11 @@ class StageCommitter:
         return os.path.join(self.workdir, stage)
 
     def _committed(self, stage: str) -> bool:
-        return os.path.exists(os.path.join(self._path(stage), "_SUCCESS"))
+        from entity_deduplication_hack_main_spark.plans import fsutil
+
+        return fsutil.exists(
+            self.spark, os.path.join(self._path(stage), "_SUCCESS")
+        )
 
     def stage(self, name: str, build) -> DataFrame:
         """Run (or resume) a stage. ``build`` is a zero-arg fn → DataFrame.
@@ -94,12 +98,9 @@ class StageCommitter:
         return out
 
     def _list_files(self, stage: str) -> list[tuple[str, int]]:
-        path = self._path(stage)
-        return sorted(
-            (e.name, e.stat().st_size)
-            for e in os.scandir(path)
-            if e.name.endswith(".parquet")
-        )
+        from entity_deduplication_hack_main_spark.plans import fsutil
+
+        return fsutil.list_files(self.spark, self._path(stage), ".parquet")
 
     def _write_lineage(
         self, stage: str, rows: int | None, wall_ms: int, resumed: bool
@@ -136,9 +137,11 @@ class StageCommitter:
         )
 
     def lineage(self) -> DataFrame | None:
+        from entity_deduplication_hack_main_spark.plans import fsutil
+
         if self.workdir is None:
             return None
         path = os.path.join(self.workdir, "_lineage")
-        if not os.path.exists(path):
+        if not fsutil.exists(self.spark, path):
             return None
         return self.spark.read.parquet(path)

@@ -4,20 +4,37 @@ The reference is batch-only (SURVEY.md §2.9); the streaming-adjacent
 north_rule requirement is resumability, which the batch pipeline covers via
 committed stages. This module adds the natural streaming extension: new
 pages arrive as files in `warc_ts`-partitioned directories, are
-deduplicated *within the micro-batch and against the committed corpus
-index*, and append to the clustered table — exactly how a production
-crawler feeds the pipeline.
+deduplicated within the micro-batch AND against the committed corpus, and
+append to the clustered table — how a production crawler feeds the pipeline.
 
-Design:
-- `readStream` on the landing directory (parquet), watermark on warc_ts;
-- per-micro-batch (`foreachBatch`): exact-dup drop against the committed
-  fingerprint index (left_anti), then the MinHash pipeline *within* the
-  batch (new↔new dups), then append new fingerprints to the index —
-  idempotent because the index write and the output write share the batch
-  id via the checkpointed sink contract;
-- stateful exact dedup across batches without the index would be
-  `dropDuplicates(["fp"])` + watermark (bounded state) — we prefer the
-  index table: unbounded-horizon dedup with bounded memory.
+Per micro-batch (`foreachBatch`), with `near_dup=True` (default):
+
+1. exact channel — normalized-text fingerprint; first-per-fp within the
+   batch, then anti-join against the committed fingerprint index;
+2. MinHash channel *within* the batch — representation kernel → LSH bands →
+   salted candidate pairs → exact-Jaccard verify → connected components;
+   only each component's min-id representative survives;
+3. MinHash channel *against the corpus* — the batch's band hashes join the
+   committed band index (bounded: bands×docs rows, no signatures re-read);
+   candidates are verified by MinHash signature agreement (the unbiased
+   Jaccard estimate; the committed shingle sets are not retained) at
+   `config.jaccard_similar`, and matching new docs are dropped;
+4. survivors append to the output plus two index tables — `_index`
+   (id, fp, signature) and `_band_index` (id, band_id, band_hash).
+
+Idempotency: every write is a *dynamic partition overwrite* keyed on
+`batch_id`, and reads of the indexes exclude the current batch_id — a
+foreachBatch retry (or a crash between the output and index writes)
+recomputes the same survivor set and overwrites the same partitions
+instead of appending duplicates. Paths are probed through the Hadoop
+FileSystem (plans/fsutil.py), so `s3a://`/`hdfs://` workdirs behave like
+local ones.
+
+State growth: the indexes carry O(1 row + bands rows) per committed doc —
+fingerprint + 8-byte signature entries, never full text — which is the
+bounded-memory alternative to `dropDuplicates` + watermark state (bounded
+horizon). Unbounded-horizon dedup needs an index; this one is a parquet
+table any batch job can also read.
 """
 
 from __future__ import annotations
@@ -28,11 +45,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from entity_deduplication_hack_main_spark.config import DedupConfig
-from entity_deduplication_hack_main_spark.functions import textstats
+from entity_deduplication_hack_main_spark.functions import represent, textstats
+from entity_deduplication_hack_main_spark.operators import cluster as cc_op
+from entity_deduplication_hack_main_spark.operators import lsh as lsh_op
+from entity_deduplication_hack_main_spark.operators import verify as verify_op
+from entity_deduplication_hack_main_spark.plans import fsutil
 
 
 class StreamingDedup:
-    """Exact-dup streaming ingest against a persistent fingerprint index."""
+    """Streaming ingest: exact + MinHash near-dup vs batch and corpus."""
 
     def __init__(
         self,
@@ -41,40 +62,146 @@ class StreamingDedup:
         config: DedupConfig | None = None,
         text_col: str = "text",
         id_col: str = "url",
+        near_dup: bool = True,
     ) -> None:
         self.spark = spark
         self.workdir = workdir
         self.config = config or DedupConfig()
         self.text_col = text_col
         self.id_col = id_col
-        self.index_path = os.path.join(workdir, "_fp_index")
+        self.near_dup = near_dup
+        self.index_path = os.path.join(workdir, "_index")
+        self.band_path = os.path.join(workdir, "_band_index")
         self.out_path = os.path.join(workdir, "deduped")
         self.checkpoint = os.path.join(workdir, "_checkpoint")
 
-    def _index(self) -> DataFrame:
-        if os.path.exists(self.index_path):
-            return self.spark.read.parquet(self.index_path)
-        return self.spark.createDataFrame([], "fp string")
+    # --- committed state -------------------------------------------------
+
+    def _read_or_empty(self, path: str, schema: str) -> DataFrame:
+        if fsutil.exists(self.spark, path):
+            return self.spark.read.parquet(path)
+        return self.spark.createDataFrame([], schema)
+
+    def _index(self, exclude_batch: int) -> DataFrame:
+        sig = ", signature array<bigint>" if self.near_dup else ""
+        df = self._read_or_empty(
+            self.index_path, f"id string, fp string{sig}, batch_id bigint"
+        )
+        return df.where(F.col("batch_id") != F.lit(exclude_batch))
+
+    def _band_index(self, exclude_batch: int) -> DataFrame:
+        df = self._read_or_empty(
+            self.band_path,
+            "id string, band_id int, band_hash string, batch_id bigint",
+        )
+        return df.where(F.col("batch_id") != F.lit(exclude_batch))
+
+    def _overwrite_partition(self, df: DataFrame, path: str, batch_id: int):
+        (
+            df.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .mode("overwrite")
+            .parquet(path)
+        )
+
+    # --- the micro-batch body ---------------------------------------------
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
-        """foreachBatch body: drop exact dups vs index AND within batch,
-        append survivors + their fingerprints."""
+        cfg = self.config
         with_fp = batch.withColumn(
             "fp", textstats.fingerprint(F.col(self.text_col))
         )
-        # keep one doc per new fingerprint (min id for determinism)
         from pyspark.sql import Window
 
+        # exact channel: one doc per fingerprint in-batch (min id), then
+        # drop fps already committed by OTHER batches (retry-safe read)
         w = Window.partitionBy("fp").orderBy(self.id_col)
-        in_batch_first = (
+        first = (
             with_fp.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
             .drop("_rn")
         )
-        fresh = in_batch_first.join(self._index(), "fp", "left_anti").cache()
-        fresh.drop("fp").write.mode("append").parquet(self.out_path)
-        fresh.select("fp").write.mode("append").parquet(self.index_path)
-        fresh.unpersist()
+        prior = self._index(exclude_batch=batch_id)
+        fresh = first.join(
+            prior.select("fp").distinct(), "fp", "left_anti"
+        ).cache()
+
+        if not self.near_dup:
+            self._overwrite_partition(fresh.drop("fp"), self.out_path, batch_id)
+            self._overwrite_partition(
+                fresh.select(F.col(self.id_col).alias("id"), "fp"),
+                self.index_path,
+                batch_id,
+            )
+            fresh.unpersist()
+            return
+
+        payload = represent.with_representation(
+            fresh, cfg, self.id_col, self.text_col
+        ).cache()
+
+        # near-dup within the batch: candidates → exact-Jaccard verify →
+        # components; non-representative (non-min-id) members drop
+        bands = lsh_op.band_hashes(payload, cfg, "signature", "id")
+        pairs = lsh_op.candidate_pairs(bands, cfg)
+        verified = verify_op.verify_pairs(
+            pairs, payload.select("id", "shingle_set", "fp"), cfg
+        )
+        edges = verify_op.duplicate_edges(verified)
+        labels = cc_op.connected_components(edges, config=cfg)
+        in_batch_drop = labels.where(
+            F.col("node") != F.col("cluster_id")
+        ).select(F.col("node").alias("id"))
+        kept = payload.join(in_batch_drop, "id", "left_anti").cache()
+
+        # near-dup vs the committed corpus: shared band bucket → signature
+        # agreement (MinHash Jaccard estimate) >= jaccard_similar
+        kept_bands = lsh_op.band_hashes(kept, cfg, "signature", "id")
+        old_bands = self._band_index(exclude_batch=batch_id).select(
+            F.col("id").alias("old_id"), "band_id", "band_hash"
+        )
+        cand = (
+            kept_bands.join(old_bands, ["band_id", "band_hash"])
+            .select("id", "old_id")
+            .distinct()
+        )
+        old_sigs = prior.select(
+            F.col("id").alias("old_id"), F.col("signature").alias("old_sig")
+        )
+        agree = F.size(
+            F.filter(
+                F.zip_with("signature", "old_sig", lambda a, b: a == b),
+                lambda x: x,
+            )
+        ) / F.lit(cfg.num_perms)
+        corpus_drop = (
+            cand.join(kept.select("id", "signature"), "id")
+            .join(old_sigs, "old_id")
+            .where(agree >= F.lit(cfg.jaccard_similar))
+            .select("id")
+            .distinct()
+        )
+        survivors = kept.join(corpus_drop, "id", "left_anti").select("id").cache()
+
+        out_rows = fresh.join(
+            survivors.withColumnRenamed("id", self.id_col), self.id_col, "left_semi"
+        )
+        self._overwrite_partition(out_rows.drop("fp"), self.out_path, batch_id)
+        self._overwrite_partition(
+            kept.join(survivors, "id", "left_semi").select(
+                "id", "fp", "signature"
+            ),
+            self.index_path,
+            batch_id,
+        )
+        self._overwrite_partition(
+            kept_bands.join(survivors, "id", "left_semi"),
+            self.band_path,
+            batch_id,
+        )
+        for df in (fresh, payload, kept, survivors):
+            df.unpersist()
 
     def start(self, source_dir: str, schema: str, trigger_once: bool = True):
         stream = (
