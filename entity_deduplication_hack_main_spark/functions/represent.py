@@ -379,6 +379,49 @@ def representation_map(
     )
 
 
+def with_ordered_shingles(
+    docs: DataFrame,
+    config: DedupConfig,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_strategy: str = "xxhash64",
+) -> DataFrame:
+    """(id, shingles): POSITION-ORDERED shingle hashes (not the distinct
+    set) — shingle i covers tokens [i, i+k-1]. Used by the span-emitting
+    containment verifier (operators/suffix.py), which needs positions to
+    report matched token runs à la Lee et al. 2021. Same rolling-polynomial
+    identity as the payload kernel, so values are interchangeable with
+    shingle_set entries."""
+    import pyarrow as pa
+
+    coeffs64 = shingle_coeffs64(config)
+
+    def fn(batches):
+        for batch in batches:
+            n_rows = batch.num_rows
+            if n_rows == 0:
+                continue
+            th = batch.column(1)
+            off = th.offsets.to_numpy().astype(np.int64)
+            flat_th = th.values.to_numpy(zero_copy_only=False).astype(
+                np.int64, copy=False
+            ).view(np.uint64)
+            lengths = np.diff(off)
+            flat_sh, m, _ = _shingle_hashes(
+                flat_th, lengths, off[:-1], coeffs64
+            )
+            sh_row_ids = np.repeat(np.arange(n_rows), m)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), _list_array(flat_sh.view(np.int64), sh_row_ids, n_rows)],
+                ["id", "shingles"],
+            )
+
+    th = token_hashes(F.col(text_col), hash_strategy)
+    base = docs.select(F.col(id_col).alias("id"), th.alias("_th"))
+    id_t = base.schema["id"].dataType.simpleString()
+    return base.mapInArrow(fn, f"id {id_t}, shingles array<bigint>")
+
+
 def representation_udf(config: DedupConfig, hash_strategy: str = "xxhash64"):
     """pandas UDF variant of the kernel (kept for column-level composition;
     the pipeline uses :func:`representation_map`)."""

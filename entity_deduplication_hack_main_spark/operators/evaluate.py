@@ -58,6 +58,66 @@ def pair_metrics(
     }
 
 
+def pair_metrics_by_type(
+    matched: DataFrame,
+    golden: DataFrame,
+    doc_types: DataFrame,
+    id_col: str = "id",
+    type_col: str = "type",
+    matched_cols: tuple[str, str] = ("id1", "id2"),
+    golden_cols: tuple[str, str] = ("original_id", "duplicate_id"),
+    exact_pairs: DataFrame | None = None,
+) -> DataFrame:
+    """(type, tp, fp, fn, precision, recall, f1) — per-entity-type P/R/F1
+    (``EvaluateVariations.ipynb cell 5`` computes both per type; r01 only
+    had the recall side). A pair's type comes from its min-id member via
+    ``doc_types`` (pairs are within-type in the reference); the exact-dup
+    FP carve-out matches :func:`pair_metrics`."""
+    m = _norm_pairs(matched, *matched_cols)
+    g = _norm_pairs(golden, *golden_cols)
+    mm = m.join(g.withColumn("_g", F.lit(1)), ["p1", "p2"], "left")
+    tp = mm.where(F.col("_g") == 1).select("p1", F.lit("tp").alias("_k"))
+    fp_pool = mm.where(F.col("_g").isNull())
+    if exact_pairs is not None:
+        fp_pool = fp_pool.join(
+            _norm_pairs(exact_pairs, *matched_cols), ["p1", "p2"], "left_anti"
+        )
+    fp = fp_pool.select("p1", F.lit("fp").alias("_k"))
+    fn = g.join(m, ["p1", "p2"], "left_anti").select(
+        "p1", F.lit("fn").alias("_k")
+    )
+    t = doc_types.select(
+        F.col(id_col).alias("p1"), F.col(type_col).alias("type")
+    )
+    counts = (
+        tp.unionByName(fp)
+        .unionByName(fn)
+        .join(t, "p1", "left")
+        .groupBy("type")
+        .agg(
+            F.sum((F.col("_k") == "tp").cast("long")).alias("tp"),
+            F.sum((F.col("_k") == "fp").cast("long")).alias("fp"),
+            F.sum((F.col("_k") == "fn").cast("long")).alias("fn"),
+        )
+    )
+    prec = F.when(
+        F.col("tp") + F.col("fp") > 0, F.col("tp") / (F.col("tp") + F.col("fp"))
+    ).otherwise(0.0)
+    rec = F.when(
+        F.col("tp") + F.col("fn") > 0, F.col("tp") / (F.col("tp") + F.col("fn"))
+    ).otherwise(0.0)
+    f1 = F.when(prec + rec > 0, 2 * prec * rec / (prec + rec)).otherwise(0.0)
+    return counts.select(
+        "type",
+        "tp",
+        "fp",
+        "fn",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )
+
+
 def recall_by_type(
     matched: DataFrame,
     golden: DataFrame,

@@ -1,0 +1,90 @@
+"""Learned pair classifier — the J5 analog.
+
+The reference's best-F1 baseline is ``dedupe.RecordLink``
+(``Run_dedupe_models.ipynb cells 7-12``, Person F1 0.983): learned blocking
+plus a learned pair classifier over field similarities. Here blocking stays
+deterministic LSH banding (SURVEY §2.3 — learned blocking does not survive
+10^12 docs), and the *verification decision* is what's learned: a logistic
+regression over pair features (exact Jaccard, SimHash Hamming similarity,
+containment, …) replacing the fixed ``jaccard >= threshold`` rule.
+
+Scale split: the FIT is driver-side numpy IRLS over a bounded labeled
+sample (labels are expensive — a golden subset or human audit — so the
+sample is small by construction); the APPLY is a pure JVM expression
+(w·x compared to the logit of the target precision), so scoring a 10^12-pair
+candidate stream stays inside whole-stage codegen with zero Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def fit_pair_classifier(
+    labeled: DataFrame,
+    feature_cols: list[str],
+    label_col: str = "label",
+    max_rows: int = 200_000,
+    iters: int = 50,
+    l2: float = 1e-6,
+) -> dict:
+    """Fit logistic regression; returns
+    {"intercept": w0, "weights": {col: w}, "n": rows_used}.
+
+    labeled: (features..., label in {0,1}). At most ``max_rows`` rows are
+    collected (deterministic ``limit``) — the driver-side fit is the point:
+    labels are scarce, the model is tiny, and the apply side never ships
+    data to Python. IRLS with L2 ridge for separable-data stability.
+    """
+    pdf = labeled.select(*feature_cols, label_col).limit(max_rows).toPandas()
+    x = np.column_stack(
+        [np.ones(len(pdf))] + [pdf[c].to_numpy(dtype=np.float64) for c in feature_cols]
+    )
+    y = pdf[label_col].to_numpy(dtype=np.float64)
+    w = np.zeros(x.shape[1])
+    for _ in range(iters):
+        z = x @ w
+        p = 1.0 / (1.0 + np.exp(-np.clip(z, -35, 35)))
+        r = np.maximum(p * (1 - p), 1e-9)
+        # Newton step: (X'RX + l2 I) dw = X'(y - p) - l2 w
+        h = (x * r[:, None]).T @ x + l2 * np.eye(x.shape[1])
+        g = x.T @ (y - p) - l2 * w
+        step = np.linalg.solve(h, g)
+        w = w + step
+        if np.max(np.abs(step)) < 1e-10:
+            break
+    return {
+        "intercept": float(w[0]),
+        "weights": {c: float(w[i + 1]) for i, c in enumerate(feature_cols)},
+        "n": int(len(pdf)),
+    }
+
+
+def classifier_score(model: dict) -> Column:
+    """σ(w·x) as a JVM expression over the model's feature columns."""
+    z = F.lit(model["intercept"])
+    for c, wc in model["weights"].items():
+        z = z + F.lit(wc) * F.col(c).cast("double")
+    return 1.0 / (1.0 + F.exp(-z))
+
+
+def classifier_pass(model: dict, min_score: float = 0.5) -> Column:
+    """Boolean pass predicate; min_score tunes the precision/recall point
+    (0.5 = the MLE decision boundary)."""
+    return classifier_score(model) >= F.lit(min_score)
+
+
+def verify_with_learned_threshold(
+    verified: DataFrame, model: dict, min_score: float = 0.5
+) -> DataFrame:
+    """Re-status verified candidate pairs with the learned rule: adds
+    `score`, replaces `status` (pass/fail). Input must carry the model's
+    feature columns (e.g. the `jaccard` of operators/verify.py)."""
+    return verified.withColumn(
+        "score", F.round(classifier_score(model), 9)
+    ).withColumn(
+        "status",
+        F.when(classifier_pass(model, min_score), "pass").otherwise("fail"),
+    )

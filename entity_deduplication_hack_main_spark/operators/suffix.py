@@ -23,6 +23,10 @@ Candidate generation is JVM joins over kernel output — no per-row Python.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -118,6 +122,75 @@ def verify_containment(
             "containment"
         ),
         F.contains(longer, shorter).alias("is_substring"),
+    )
+
+
+def _span_runs(mark, k: int, min_tokens: int) -> list[dict]:
+    """Maximal True-runs of `mark` (shingle positions) → token spans
+    [start, end] inclusive; shingle i covers tokens [i, i+k-1]."""
+    if mark.size == 0:
+        return []
+    edges = np.flatnonzero(
+        np.diff(np.concatenate(([0], mark.astype(np.int8), [0])))
+    )
+    out = []
+    for s, e in zip(edges[::2], edges[1::2]):  # e exclusive in shingle idx
+        te = int(e) - 1 + k - 1
+        if te - int(s) + 1 >= min_tokens:
+            out.append({"start": int(s), "end": te})
+    return out
+
+
+def containment_spans(
+    pairs: DataFrame,
+    docs: DataFrame,
+    config: DedupConfig,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_strategy: str = "xxhash64",
+    min_tokens: int | None = None,
+) -> DataFrame:
+    """(id1, id2, spans1, spans2): maximal shared token runs per direction —
+    spansN = array<struct<start,end>> of token offsets (inclusive) in doc N
+    whose every k-shingle also occurs in the other doc. This is the
+    Lee et al. 2021 output a training-data user needs to CUT the duplicated
+    span instead of dropping the whole doc.
+
+    min_tokens defaults to k + WINNOW_WINDOW - 1 — the winnowing detection
+    guarantee, so every candidate pair from the winnow channel reports the
+    span that produced it. Runs on candidate pairs only (a verification
+    step, not the hot path): ordered shingles come from the Arrow kernel;
+    the run extraction is a pandas UDF doing one vectorized np.isin per
+    pair."""
+    from entity_deduplication_hack_main_spark.functions import represent as rep
+
+    k = config.shingle_k
+    mt = min_tokens if min_tokens is not None else k + rep.WINNOW_WINDOW - 1
+
+    @F.pandas_udf("array<struct<start:int,end:int>>")
+    def _spans(
+        it: Iterator[tuple[pd.Series, pd.Series]],
+    ) -> Iterator[pd.Series]:
+        for a_lists, b_lists in it:
+            res = []
+            for sa, sb in zip(a_lists, b_lists):
+                a = np.asarray(sa, dtype=np.int64)
+                mark = np.isin(a, np.asarray(sb, dtype=np.int64))
+                res.append(_span_runs(mark, k, mt))
+            yield pd.Series(res)
+
+    sh = rep.with_ordered_shingles(docs, config, id_col, text_col, hash_strategy)
+    a = sh.select(F.col("id").alias("id1"), F.col("shingles").alias("sh1"))
+    b = sh.select(F.col("id").alias("id2"), F.col("shingles").alias("sh2"))
+    return (
+        pairs.join(a, "id1")
+        .join(b, "id2")
+        .select(
+            "id1",
+            "id2",
+            _spans("sh1", "sh2").alias("spans1"),
+            _spans("sh2", "sh1").alias("spans2"),
+        )
     )
 
 

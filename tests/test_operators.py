@@ -12,7 +12,9 @@ from entity_deduplication_hack_main_spark.operators import (
     cluster,
     evaluate,
     knn,
+    learned,
     lsh,
+    suffix,
     topk,
 )
 
@@ -129,6 +131,110 @@ def test_embedding_near_dup_lsh_recall(spark):
     assert g <= e, "LSH path produced a pair the exact path rejects"
     recall = len(g & e) / len(e)
     assert recall >= 0.95, f"near-dup LSH recall {recall}"
+
+
+def test_learned_classifier_recovers_linear_boundary(spark):
+    """IRLS fit recovers a known linear decision rule; apply side is a pure
+    JVM expression (no Python in the scoring plan)."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    j = rng.uniform(0, 1, 4000)
+    h = rng.uniform(0, 1, 4000)
+    y = (0.7 * j + 0.3 * h > 0.5).astype(int)
+    df = spark.createDataFrame(
+        [(float(a), float(b), int(c)) for a, b, c in zip(j, h, y)],
+        "jaccard double, hamming_sim double, label int",
+    )
+    model = learned.fit_pair_classifier(df, ["jaccard", "hamming_sim"])
+    scored = df.withColumn("pred", learned.classifier_pass(model).cast("int"))
+    acc = scored.where(F.col("pred") == F.col("label")).count() / 4000
+    assert acc >= 0.98, f"learned boundary accuracy {acc}"
+    assert "BatchEvalPython" not in scored._jdf.queryExecution().executedPlan().toString()
+
+
+def test_learned_threshold_matches_fixed_rule_f1(spark):
+    """J5 analog end-to-end on the synthetic golden corpus: learn the
+    verify threshold from labeled candidates; F1 must not fall below the
+    hand-tuned fixed-threshold rule."""
+    from entity_deduplication_hack_main_spark.functions import represent
+    from entity_deduplication_hack_main_spark.operators import verify
+    from entity_deduplication_hack_main_spark.sources import corpus
+
+    cfg = DedupConfig()
+    docs = corpus.synthesize_corpus(spark, n_docs=400, dup_fraction=0.4, seed=3)
+    payload = represent.with_representation(docs, cfg, "doc_id", "text").cache()
+    bands = lsh.band_hashes(payload, cfg, "signature", "id")
+    pairs = lsh.candidate_pairs(bands, cfg)
+    verified = verify.verify_pairs(
+        pairs, payload.select("id", "shingle_set", "fp"), cfg
+    ).cache()
+    golden = corpus.golden_pairs(spark, 400, 0.4)
+    gnorm = golden.select(
+        F.least("original_id", "duplicate_id").alias("id1"),
+        F.greatest("original_id", "duplicate_id").alias("id2"),
+        F.lit(1).alias("label"),
+    )
+    labeled = verified.join(gnorm, ["id1", "id2"], "left").fillna(
+        0, subset=["label"]
+    )
+    model = learned.fit_pair_classifier(labeled, ["jaccard"])
+    relabeled = learned.verify_with_learned_threshold(verified, model)
+
+    def f1(edges):
+        return evaluate.pair_metrics(edges, golden)["f1"]
+
+    f1_learned = f1(relabeled.where(F.col("status") == "pass"))
+    f1_fixed = f1(verified.where(F.col("status") == "pass"))
+    assert f1_learned >= f1_fixed - 1e-9, (f1_learned, f1_fixed)
+
+
+def test_pair_metrics_by_type(spark):
+    """Per-type P/R/F1 with known counts (EvaluateVariations cell 5 analog):
+    person: tp=1 (1,2), fn=1 (7,8); org: tp=1 (3,4), fp=1 (5,6 — but
+    carved out when flagged exact), fp=1 (9,10)."""
+    matched = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6), (9, 10)], "id1 bigint, id2 bigint"
+    )
+    golden = spark.createDataFrame(
+        [(2, 1), (3, 4), (7, 8)], "original_id bigint, duplicate_id bigint"
+    )
+    types = spark.createDataFrame(
+        [(1, "person"), (3, "org"), (5, "org"), (7, "person"), (9, "org")],
+        "id bigint, type string",
+    )
+    exact = spark.createDataFrame([(5, 6)], "id1 bigint, id2 bigint")
+    got = {
+        r["type"]: (r["tp"], r["fp"], r["fn"], r["precision"], r["recall"])
+        for r in evaluate.pair_metrics_by_type(
+            matched, golden, types, exact_pairs=exact
+        ).collect()
+    }
+    assert got["person"] == (1, 0, 1, 1.0, 0.5)
+    assert got["org"] == (1, 1, 0, 0.5, 1.0)
+    no_carve = {
+        r["type"]: (r["tp"], r["fp"], r["fn"])
+        for r in evaluate.pair_metrics_by_type(
+            matched, golden, types
+        ).collect()
+    }
+    assert no_carve["org"] == (1, 2, 0)
+
+
+def test_containment_spans_locate_injected_run(spark):
+    """The span verifier must report the injected shared run's exact token
+    offsets in BOTH docs (Lee et al. 2021-style span removal output)."""
+    cfg = DedupConfig(shingle_k=3, num_perms=32, bands=8, rows_per_band=4)
+    shared = [f"s{i}" for i in range(80)]
+    a = [f"a{i}" for i in range(60)] + shared + [f"b{i}" for i in range(60)]
+    b = [f"c{i}" for i in range(40)] + shared + [f"d{i}" for i in range(10)]
+    docs = spark.createDataFrame(
+        [(0, " ".join(a)), (1, " ".join(b))], "doc_id bigint, text string"
+    )
+    pairs = spark.createDataFrame([(0, 1)], "id1 bigint, id2 bigint")
+    out = suffix.containment_spans(pairs, docs, cfg, min_tokens=50).collect()[0]
+    assert [(s["start"], s["end"]) for s in out["spans1"]] == [(60, 139)]
+    assert [(s["start"], s["end"]) for s in out["spans2"]] == [(40, 119)]
 
 
 def test_pair_metrics_with_carveout(spark):
