@@ -81,15 +81,22 @@ def run_pipeline_bench(spark, n_docs: int, seed: int = 42, size_mult: int = 1) -
     }
 
 
-def run_queries(spark, sf_dir: str) -> dict[str, float]:
+def run_queries(spark, sf_dir: str, reps: int = 3) -> dict[str, float]:
+    """Median-of-``reps`` wall time per query (host-contention variance on
+    this sandbox is real — BENCH.md — so single-shot legs are noisy)."""
+    import statistics
+
     from entity_deduplication_hack_main_spark import entry_queries
 
     qs = entry_queries.queries()
     out = {}
     for name in BENCH_QUERIES:
-        t0 = time.monotonic()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        out[name] = round(time.monotonic() - t0, 3)
+        legs = []
+        for _ in range(reps):
+            t0 = time.monotonic()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            legs.append(time.monotonic() - t0)
+        out[name] = round(statistics.median(legs), 3)
     return out
 
 
@@ -107,6 +114,8 @@ def main() -> None:
     ap.add_argument("--size-mult", type=int, default=4,
                     help="doc length multiplier (4 => ~900-token docs, "
                          "realistic web-page length)")
+    ap.add_argument("--reps", type=int, default=3,
+                    help="legs per query; the reported time is the median")
     args = ap.parse_args()
 
     cpus = args.cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -154,13 +163,14 @@ def main() -> None:
             "high": results[hi],
             "speedup": round(speedup, 3),
             "scaling_efficiency": round(efficiency, 3),
+            "loadavg": [round(x, 2) for x in os.getloadavg()],
         }
         _write_bench_md(report)
         print(json.dumps(report))
         return
 
     spark = _spark(cpus)
-    queries = run_queries(spark, sf_dir)
+    queries = run_queries(spark, sf_dir, reps=args.reps)
     pipe = run_pipeline_bench(spark, n_docs=5000)
     queries["dedup_pipeline_5k"] = pipe["wall_sec"]
     total = round(sum(queries.values()), 3)
@@ -175,6 +185,8 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "docs_per_sec": pipe["docs_per_sec"],
                 "cpus": cpus,
+                "reps": args.reps,
+                "loadavg": [round(x, 2) for x in os.getloadavg()],
             }
         )
     )
