@@ -762,6 +762,113 @@ def embedding_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "part_types_by_brand",
+    """
+SELECT p_brand,
+       array_to_string(list_sort(list_distinct(list(p_type))), ',') AS types,
+       count(DISTINCT p_type) AS n_types
+FROM part GROUP BY p_brand
+""",
+)
+def part_types_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 per-type field-schema discovery: the distinct value set observed
+    per group (the reference discovers per-entity-type predicate sets by
+    scanning literals; the relational analog is collect_set per key).
+    Map-side partial collect_set keeps the shuffle at set-size, not
+    row-count."""
+    p = _t(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.array_join(F.array_sort(F.collect_set("p_type")), ",").alias(
+            "types"
+        ),
+        F.count_distinct(F.col("p_type")).alias("n_types"),
+    )
+
+
+_SPAN_MIN = 50  # k + WINNOW_WINDOW - 1 for the testdata config (3 + 48 - 1)
+
+
+def _sql_span_side(side: int) -> str:
+    """Marked shingle positions of one direction: position i of doc a whose
+    shingle occurs anywhere in doc b (grp_i is 0-based). The position and
+    membership flag are computed inside ONE indexed list_transform and
+    unnested as a struct (DuckDB's lateral range() rejects column
+    arguments, and unnest(range(len(..))) + a sibling array index trips
+    its binder)."""
+    a, b = ("id1", "id2") if side == 1 else ("id2", "id1")
+    return f"""
+SELECT id1, id2, side, (u.i - 1)::INT AS grp_i,
+       row_number() OVER (PARTITION BY id1, id2 ORDER BY u.i) AS rn
+FROM (
+  SELECT p.id1 AS id1, p.id2 AS id2, {side} AS side,
+         unnest(list_transform(sa.sh,
+                (x, i) -> {{'i': i, 'm': list_contains(sb.sh, x)}})) AS u
+  FROM _wpairs p
+  JOIN _sh sa ON sa.id = p.{a}
+  JOIN _sh sb ON sb.id = p.{b}
+)
+WHERE u.m
+"""
+
+
+@register(
+    "winnow_containment_spans",
+    f"""
+WITH {_REPR},
+_f AS (SELECT id, unnest(wn) AS wfp FROM _wn),
+_keep AS (
+  SELECT wfp FROM _f GROUP BY wfp HAVING count(*) BETWEEN 2 AND 1000
+),
+_m AS (SELECT _f.id, _f.wfp FROM _f JOIN _keep USING (wfp)),
+_wpairs AS (
+  SELECT a.id AS id1, b.id AS id2
+  FROM _m a JOIN _m b ON a.wfp = b.wfp AND a.id < b.id
+  GROUP BY a.id, b.id HAVING count(*) >= 2
+),
+_mark AS ({_sql_span_side(1)} UNION ALL {_sql_span_side(2)}),
+_isl AS (
+  SELECT id1, id2, side, grp_i, grp_i - rn AS grp FROM _mark
+),
+_runs AS (
+  SELECT id1, id2, side,
+         min(grp_i)::INT AS start_tok,
+         (max(grp_i) + {CFG.shingle_k - 1})::INT AS end_tok
+  FROM _isl GROUP BY id1, id2, side, grp
+)
+SELECT id1, id2, side, start_tok, end_tok FROM _runs
+WHERE end_tok - start_tok + 1 >= {_SPAN_MIN}
+""",
+)
+def winnow_containment_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-emitting substring dedup end-to-end: winnow candidate pairs →
+    exact token offsets of every maximal shared shingle run, both
+    directions (Lee et al. 2021-style span output). Oracle = gaps-and-
+    islands SQL over the ordered shingle arrays."""
+    docs = _t(spark, sf_dir, "documents")
+    p = _docs_payload(spark, sf_dir)
+    pairs = suffix_op.winnow_pairs_from_payload(p)
+    spans = suffix_op.containment_spans(
+        pairs, docs, CFG, "doc_id", "text", "md5", min_tokens=_SPAN_MIN
+    )
+
+    def side(col: str, n: int) -> DataFrame:
+        return spans.select(
+            "id1",
+            "id2",
+            F.lit(n).alias("side"),
+            F.explode(col).alias("s"),
+        ).select(
+            "id1",
+            "id2",
+            "side",
+            F.col("s.start").alias("start_tok"),
+            F.col("s.end").alias("end_tok"),
+        )
+
+    return side("spans1", 1).unionByName(side("spans2", 2))
+
+
+@register(
     "embedding_near_dup_lsh",
     """
 WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

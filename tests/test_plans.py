@@ -78,6 +78,17 @@ def test_window_group_limit_pushdown(spark, sf001):
     assert "WindowGroupLimit" in plan
 
 
+def test_embedding_near_dup_lsh_plan_is_bucketed(spark, sf001):
+    """The production near-dup channel must never cartesian: no
+    CartesianProduct/BroadcastNestedLoopJoin in the plan; Python appears
+    only as the Arrow bucket kernel; candidates join on the band key."""
+    q = entry_queries.queries()["embedding_near_dup_lsh"](spark, sf001)
+    plan = _plan(q)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_partition_pruning_on_warc_day(spark, tmp_path):
     """north_star: partition pruning on the crawl timestamp. Writing the
     corpus partitioned by days(warc_ts) must let a day filter prune."""
