@@ -284,6 +284,37 @@ def _split_lists(flat: np.ndarray, row_ids: np.ndarray, n_rows: int):
     return np.split(flat.astype(np.int64), split_at)
 
 
+# Rows per kernel tile are capped so the flattened token-hash slice (and
+# its same-sized scratch buffer) stay L2-resident: the MinHash loop makes
+# ~4 passes per permutation and the SimHash loop ~3 per bit, so RAM traffic
+# drops ~100x when the working set fits in cache. Measured: 2x faster
+# single-threaded, and decisive under multi-core contention — this box's
+# shared memory bus is the scaling ceiling (BENCH.md).
+TILE_TOKENS = 60_000  # ~480 KB of uint64 per buffer
+
+
+def _kernel_tile(
+    flat_th: np.ndarray,
+    lengths: np.ndarray,
+    offsets: np.ndarray,
+    a: np.ndarray,
+    b: np.ndarray,
+    coeffs64: np.ndarray,
+    nbits: int,
+    window: int,
+):
+    """Run the full kernel on one flattened (cache-sized) tile."""
+    n_rows = lengths.shape[0]
+    flat_sh, sh_len, sh_off = _shingle_hashes(flat_th, lengths, offsets, coeffs64)
+    sig = _minhash(flat_sh, sh_off, a, b)
+    ss_rows, ss_vals = _distinct_pairs(
+        np.repeat(np.arange(n_rows), sh_len), flat_sh.view(np.int64)
+    )
+    wn_rows, wn_vals = _winnow(flat_sh, sh_len, sh_off, window)
+    sim = _simhash(flat_th, lengths, offsets, nbits)
+    return ss_rows, ss_vals, sig, wn_rows, wn_vals, sim
+
+
 def _kernel_batch(
     flat_th: np.ndarray,
     lengths: np.ndarray,
@@ -294,15 +325,46 @@ def _kernel_batch(
     nbits: int,
     window: int,
 ):
-    """Run the full kernel on one flattened batch → numpy outputs."""
+    """Tile the batch by token count (TILE_TOKENS) and concatenate the
+    per-tile kernel outputs — identical results, cache-resident passes."""
     n_rows = lengths.shape[0]
-    flat_sh, sh_len, sh_off = _shingle_hashes(flat_th, lengths, offsets, coeffs64)
-    sig = _minhash(flat_sh, sh_off, a, b)
-    ss_rows, ss_vals = _distinct_pairs(
-        np.repeat(np.arange(n_rows), sh_len), flat_sh.view(np.int64)
-    )
-    wn_rows, wn_vals = _winnow(flat_sh, sh_len, sh_off, window)
-    sim = _simhash(flat_th, lengths, offsets, nbits)
+    total = flat_th.shape[0]
+    if total <= TILE_TOKENS:
+        return _kernel_tile(
+            flat_th, lengths, offsets, a, b, coeffs64, nbits, window
+        )
+    parts = []
+    s = 0
+    while s < n_rows:
+        e = s + 1
+        tok = int(lengths[s])
+        while e < n_rows and tok + lengths[e] <= TILE_TOKENS:
+            tok += int(lengths[e])
+            e += 1
+        f0 = int(offsets[s])
+        f1 = int(offsets[e - 1] + lengths[e - 1])
+        parts.append(
+            (
+                s,
+                _kernel_tile(
+                    flat_th[f0:f1],
+                    lengths[s:e],
+                    offsets[s:e] - f0,
+                    a,
+                    b,
+                    coeffs64,
+                    nbits,
+                    window,
+                ),
+            )
+        )
+        s = e
+    ss_rows = np.concatenate([p[0] + r0 for r0, p in parts])
+    ss_vals = np.concatenate([p[1] for _, p in parts])
+    sig = np.vstack([p[2] for _, p in parts])
+    wn_rows = np.concatenate([p[3] + r0 for r0, p in parts])
+    wn_vals = np.concatenate([p[4] for _, p in parts])
+    sim = np.concatenate([p[5] for _, p in parts])
     return ss_rows, ss_vals, sig, wn_rows, wn_vals, sim
 
 

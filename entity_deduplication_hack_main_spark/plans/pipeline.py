@@ -89,7 +89,18 @@ def run_pipeline(
         # and containment all come from the same two shuffles. (A previous
         # version joined the payload six times = four extra ~600 MB array
         # shuffles at 100k heavy docs; this halved pipeline wall time.)
-        p = payload.select("id", "shingle_set", "fp", "simhash")
+        # Semi-join reduction first: only candidate-pair members ship their
+        # shingle sets. The broadcast hint is load-bearing — see
+        # verify.verify_pairs (plan-chosen SMJ here doubles payload
+        # shuffles instead of eliminating them).
+        ids = (
+            candidates.select(F.col("id1").alias("id"))
+            .unionByName(candidates.select(F.col("id2").alias("id")))
+            .distinct()
+        )
+        p = payload.select("id", "shingle_set", "fp", "simhash").join(
+            F.broadcast(ids), "id", "left_semi"
+        )
         a = p.select(
             F.col("id").alias("id1"),
             F.col("shingle_set").alias("s1"),
