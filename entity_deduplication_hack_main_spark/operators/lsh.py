@@ -26,6 +26,15 @@ from pyspark.sql import functions as F
 from entity_deduplication_hack_main_spark.config import DedupConfig
 
 
+def candidate_probability(jaccard: float, config: DedupConfig) -> float:
+    """The LSH S-curve: P(pair shares >= 1 band | Jaccard) =
+    1 - (1 - j^r)^b. This is the analytic link between the band config and
+    the north_rule's recall >= 0.99 gate (SURVEY §7 hard parts): the
+    default b=32 x r=4 gives P(candidate) = 0.9998 at the verify threshold
+    j = 0.7 — checked by test_s_curve_meets_recall_gate."""
+    return 1.0 - (1.0 - jaccard**config.rows_per_band) ** config.bands
+
+
 def band_hashes(
     df: DataFrame,
     config: DedupConfig,

@@ -44,6 +44,13 @@ def main() -> None:
     ap.add_argument("--run-id", default=None)
     ap.add_argument("--cpus", type=int, default=None,
                     help="local[N] when not under spark-submit")
+    ap.add_argument("--streaming-source", default=None,
+                    help="landing directory: run the Structured Streaming "
+                         "ingest (exact + MinHash near-dup vs the committed "
+                         "index; availableNow trigger) instead of the batch "
+                         "pipeline. Requires --workdir.")
+    ap.add_argument("--streaming-schema",
+                    default="url string, warc_ts timestamp, text string")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -56,6 +63,28 @@ def main() -> None:
     active = SparkSession.getActiveSession()
     spark = active or get_spark(parallelism=args.cpus)
     config = DedupConfig()
+
+    if args.streaming_source:
+        if not args.workdir:
+            ap.error("--streaming-source requires --workdir")
+        from entity_deduplication_hack_main_spark.streaming.ingest import (
+            StreamingDedup,
+        )
+
+        sd = StreamingDedup(
+            spark, args.workdir, config,
+            text_col=args.text_col, id_col=args.id_col,
+        )
+        t0 = time.monotonic()
+        sd.start(args.streaming_source, args.streaming_schema).awaitTermination()
+        out = spark.read.parquet(sd.out_path)
+        print(json.dumps({
+            "mode": "streaming",
+            "deduped_rows": out.count(),
+            "wall_sec": round(time.monotonic() - t0, 2),
+            "out_path": sd.out_path,
+        }))
+        return
 
     if args.synthetic:
         docs = corpus.synthesize_corpus(spark, n_docs=args.synthetic)

@@ -133,6 +133,16 @@ def test_embedding_near_dup_lsh_recall(spark):
     assert recall >= 0.95, f"near-dup LSH recall {recall}"
 
 
+def test_s_curve_meets_recall_gate():
+    """Default band config must give P(candidate) >= 0.999 at the verify
+    threshold (north_rule recall 0.99 with margin), while staying steep:
+    low candidate probability for clearly-distinct pairs."""
+    cfg = DedupConfig()
+    assert lsh.candidate_probability(cfg.jaccard_similar, cfg) >= 0.999
+    assert lsh.candidate_probability(0.9, cfg) >= 0.999999
+    assert lsh.candidate_probability(0.2, cfg) <= 0.06
+
+
 def test_learned_classifier_recovers_linear_boundary(spark):
     """IRLS fit recovers a known linear decision rule; apply side is a pure
     JVM expression (no Python in the scoring plan)."""
