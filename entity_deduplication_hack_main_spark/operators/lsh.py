@@ -40,21 +40,42 @@ def band_hashes(
     config: DedupConfig,
     sig_col: str = "signature",
     id_col: str = "doc_id",
+    hash_fn: str = "md5",
 ) -> DataFrame:
-    """(id, band_id, band_hash): one row per band per doc. Pure JVM."""
+    """(id, band_id, band_hash): one row per band per doc. Pure JVM.
+
+    hash_fn 'md5' emits 32-char hex strings (DuckDB-reproducible — the
+    oracle queries use this); 'xxhash64' emits BIGINT keys — the
+    production pipeline's choice: the banding shuffle carries bands× rows
+    per doc, and an 8-byte key vs a 32-byte string cuts that stage's
+    shuffle volume ~2.5x (band buckets are identical either way: both
+    hashes are injective enough on r-row signature slices)."""
     r = config.rows_per_band
     sig = F.col(sig_col)
-    bands = F.transform(
-        F.sequence(F.lit(0), F.lit(config.bands - 1)),
-        lambda band: F.md5(
-            F.array_join(
-                F.transform(
-                    F.slice(sig, band * F.lit(r) + F.lit(1), r),
-                    lambda x: x.cast("string"),
-                ),
-                ",",
+    if hash_fn == "xxhash64":
+        def one_band(band):
+            return F.xxhash64(
+                F.array_join(
+                    F.transform(
+                        F.slice(sig, band * F.lit(r) + F.lit(1), r),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                )
             )
-        ),
+    else:
+        def one_band(band):
+            return F.md5(
+                F.array_join(
+                    F.transform(
+                        F.slice(sig, band * F.lit(r) + F.lit(1), r),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                )
+            )
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(config.bands - 1)), one_band
     )
     return df.select(
         F.col(id_col).alias("id"),

@@ -66,8 +66,12 @@ def run_pipeline(
     payload = com.stage("payload", build_payload)
 
     def build_candidates() -> DataFrame:
+        # bigint band keys on the production path (md5 strings are the
+        # oracle rendering) — ~2.5x less banding-shuffle volume
+        band_fn = "xxhash64" if hash_strategy == "xxhash64" else "md5"
         lsh_pairs = lsh.candidate_pairs(
-            lsh.band_hashes(payload, config, "signature", "id"), config
+            lsh.band_hashes(payload, config, "signature", "id", band_fn),
+            config,
         ).withColumn("channel", F.lit("minhash_lsh"))
         sim_pairs = ham.hamming_candidate_pairs(
             payload.select("id", "simhash"), config, nbits

@@ -22,11 +22,13 @@ def get_spark(
     """Build (or fetch) a local SparkSession.
 
     parallelism: local[N] cores; default $SPARK_GRAFT_CPUS or 32.
-    shuffle_partitions: default = parallelism (right-sized for local mode;
-        on a real cluster you'd set ~2-3x total cores and let AQE coalesce).
+    shuffle_partitions: default = 3x parallelism — the over-partitioning
+        gives AQE room to balance (coalescing merges the small ones), and
+        cuts the straggler tail of the last wave: with exactly N
+        partitions on N cores, one slow partition idles N-1 cores.
     """
     cpus = parallelism or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    sp = shuffle_partitions or cpus
+    sp = shuffle_partitions or (3 * cpus)
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
