@@ -116,6 +116,9 @@ def main() -> None:
                          "realistic web-page length)")
     ap.add_argument("--reps", type=int, default=3,
                     help="legs per query; the reported time is the median")
+    ap.add_argument("--pin-cpus", action="store_true",
+                    help="--scaling: taskset each leg to exactly N cores "
+                         "(true N-core machines, not local[N] task caps)")
     args = ap.parse_args()
 
     cpus = args.cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -138,6 +141,14 @@ def main() -> None:
                 "--pipeline-only", "--cpus", str(n), "--ndocs", str(args.ndocs),
                 "--size-mult", str(args.size_mult),
             ]
+            if args.pin_cpus:
+                # Confine the WHOLE process tree (JVM task threads, GC,
+                # shuffle threads, Python kernel workers) to exactly n
+                # cores. Plain local[n] only caps concurrent TASKS — the
+                # auxiliary threads spill onto the machine's other cores,
+                # subsidizing the narrow leg disproportionately and
+                # understating true N-core vs 4N-core scaling.
+                cmd = ["taskset", "-c", f"0-{n - 1}"] + cmd
             out = subprocess.run(
                 cmd, capture_output=True, text=True, timeout=3600,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
@@ -164,6 +175,7 @@ def main() -> None:
             "speedup": round(speedup, 3),
             "scaling_efficiency": round(efficiency, 3),
             "loadavg": [round(x, 2) for x in os.getloadavg()],
+            "pinned_cpus": bool(args.pin_cpus),
         }
         _write_bench_md(report)
         print(json.dumps(report))
@@ -198,9 +210,10 @@ def _write_bench_md(report: dict) -> None:
     curated analysis at the top)."""
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md")
     lo, hi = report["levels"]
+    pin = ", cpu-pinned" if report.get("pinned_cpus") else ""
     section = (
         f"\n## --scaling run: local[{lo}] vs local[{hi}], "
-        f"{report['n_docs']} docs (size_mult={report['size_mult']})\n\n"
+        f"{report['n_docs']} docs (size_mult={report['size_mult']}{pin})\n\n"
         f"| parallelism | wall sec | docs/sec |\n|---|---|---|\n"
         f"| local[{lo}] | {report['low']['wall_sec']} | {report['low']['docs_per_sec']} |\n"
         f"| local[{hi}] | {report['high']['wall_sec']} | {report['high']['docs_per_sec']} |\n\n"

@@ -90,9 +90,12 @@ class StreamingDedup:
         return df.where(F.col("batch_id") != F.lit(exclude_batch))
 
     def _band_index(self, exclude_batch: int) -> DataFrame:
+        # bigint band keys (xxhash64) — the persisted index grows one row
+        # per band per committed doc forever, so the 8-byte key vs a
+        # 32-char md5 string is a 2.5x standing size difference
         df = self._read_or_empty(
             self.band_path,
-            "id string, band_id int, band_hash string, batch_id bigint",
+            "id string, band_id int, band_hash bigint, batch_id bigint",
         )
         return df.where(F.col("batch_id") != F.lit(exclude_batch))
 
@@ -143,7 +146,7 @@ class StreamingDedup:
 
         # near-dup within the batch: candidates → exact-Jaccard verify →
         # components; non-representative (non-min-id) members drop
-        bands = lsh_op.band_hashes(payload, cfg, "signature", "id")
+        bands = lsh_op.band_hashes(payload, cfg, "signature", "id", "xxhash64")
         pairs = lsh_op.candidate_pairs(bands, cfg)
         verified = verify_op.verify_pairs(
             pairs, payload.select("id", "shingle_set", "fp"), cfg
@@ -157,7 +160,7 @@ class StreamingDedup:
 
         # near-dup vs the committed corpus: shared band bucket → signature
         # agreement (MinHash Jaccard estimate) >= jaccard_similar
-        kept_bands = lsh_op.band_hashes(kept, cfg, "signature", "id")
+        kept_bands = lsh_op.band_hashes(kept, cfg, "signature", "id", "xxhash64")
         old_bands = self._band_index(exclude_batch=batch_id).select(
             F.col("id").alias("old_id"), "band_id", "band_hash"
         )
