@@ -580,10 +580,12 @@ def similar_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     (25 keys in TPC-H): key cardinality rises ~30× (≈775 at sf0.1), block
     sizes drop quadratically, and a shuffle join is no longer pinned to 25
     skew-prone partitions — the r01 scale-killer on this query. The
-    round-robin repartition spreads the probe side when the scan is a
-    single small file (sf0.1 is one task otherwise — measured 9s → 1.4s);
-    a key-partitioned shuffle join at cluster scale re-shuffles anyway."""
+    round-robin repartition (sized to the session's core count, not a
+    constant) spreads the probe side when the scan is a single small file
+    (sf0.1 is one task otherwise — measured 9s → 1.4s); a key-partitioned
+    shuffle join at cluster scale re-shuffles anyway."""
     p = _t(spark, sf_dir, "part")
+    n_part = spark.sparkContext.defaultParallelism * 2
     a = p.select(
         F.col("p_partkey").alias("id1"),
         F.col("p_name").alias("n1"),
@@ -591,7 +593,7 @@ def similar_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.sequence(F.length("p_name") - 4, F.length("p_name") + 4)
         ).alias("lb"),
-    ).repartition(64)
+    ).repartition(n_part)
     b = p.select(
         F.col("p_partkey").alias("id2"),
         F.col("p_name").alias("n2"),
@@ -727,17 +729,48 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_op.brute_force_knn(probes, emb, k=5)
 
 
-@register("embedding_near_dup_matmul", None)  # rows-only: matmul fp order
+@register(
+    "embedding_near_dup_matmul",
+    """
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.3
+""",
+)
 def embedding_near_dup_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Throughput variant of the near-dup channel (blocked matmul)."""
+    """Throughput variant of the near-dup channel (blocked matmul).
+    Oracle-exact since r03: the matmul emits a guard-band candidate set
+    and the output cosine is re-computed with the fold expression — same
+    oracle as the expression twin."""
     emb = _t(spark, sf_dir, "embeddings")
     return knn_op.embedding_near_dup_pairs_matmul(emb, threshold=0.3)
 
 
-@register("knn_matmul", None)  # rows-only check: matmul fp order ≠ SQL fold
+@register(
+    "knn_matmul",
+    """
+WITH _p AS (SELECT * FROM embeddings WHERE vec_id % 10 = 0),
+_s AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(p.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine
+  FROM _p p CROSS JOIN embeddings c
+  WHERE p.vec_id != c.vec_id
+),
+_rk AS (
+  SELECT probe_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM _s
+)
+SELECT probe_id, neighbor_id, cosine, rank FROM _rk WHERE rank <= 5
+""",
+)
 def knn_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Throughput ANN baseline: batched-matmul exact top-5 (scale path;
-    see knn.brute_force_knn_matmul float note)."""
+    """Throughput ANN baseline: batched-matmul candidate top-(5+8), exact
+    fold re-score + rank — bit-identical to knn_bruteforce (same oracle)
+    at matmul speed (see knn.brute_force_knn_matmul)."""
     emb = _t(spark, sf_dir, "embeddings")
     probes = emb.where(F.col("vec_id") % 10 == 0)
     return knn_op.brute_force_knn_matmul(probes, emb, k=5)

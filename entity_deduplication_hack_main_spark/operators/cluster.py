@@ -83,15 +83,41 @@ def connected_components(
     the cluster — singletons are attached by a distributed left join with
     ``coalesce(label, node)``. This is the common case after verification
     (dup edges ≪ docs): a 10^12-doc corpus with 1M dup edges collects 1M
-    rows, not 10^12. The gate is a ``limit(threshold+1).collect()`` — one
-    early-stopping action, no separate count pass re-running the edge
-    lineage. Above the threshold the iterative distributed loop runs.
+    rows, not 10^12. The gate is a cheap ``limit(threshold+1).count()``
+    probe first — edges only reach the driver once the count is KNOWN to
+    fit, so an over-threshold input never materializes 2M+ Row objects in
+    Python heap just to discard them (round-2 advice). Edges are persisted
+    across the probe + collect (and the distributed loop's iterations) so
+    the two actions don't recompute the upstream verify lineage.
+    Above the threshold the iterative distributed loop runs.
     Set ``local_threshold=0`` to force the distributed path.
     """
     config = config or DedupConfig()
     head = None
+    pinned = None
     if local_threshold:
-        head = edges.select("id1", "id2").limit(local_threshold + 1).collect()
+        pinned = edges.select("id1", "id2").persist()
+        edges = pinned
+        if pinned.limit(local_threshold + 1).count() <= local_threshold:
+            head = pinned.collect()
+    try:
+        return _connected_components_impl(
+            edges, head, vertices, config, use_reliable_checkpoint,
+            local_threshold,
+        )
+    finally:
+        if pinned is not None:
+            pinned.unpersist()
+
+
+def _connected_components_impl(
+    edges: DataFrame,
+    head,
+    vertices: DataFrame | None,
+    config: DedupConfig,
+    use_reliable_checkpoint: bool,
+    local_threshold: int,
+) -> DataFrame:
     if head is not None and len(head) <= local_threshold:
         spark = edges.sparkSession
         t = edges.schema["id1"].dataType.simpleString()

@@ -78,10 +78,15 @@ def brute_force_knn_matmul(
     Probes are collected once (must be small — the same constraint as the
     broadcast in :func:`brute_force_knn`), normalized into a (P, d) matrix
     captured by a mapInPandas closure; each corpus Arrow batch contributes
-    its local top-k per probe, then one global rank window finishes. Float
-    note: matmul summation order differs from the sequential fold at ~1e-15
-    — use :func:`brute_force_knn` where bit-parity with a SQL oracle
-    matters.
+    its local top-(k+8) CANDIDATES per probe (ids + their vectors ride
+    along — no second corpus scan), then the tiny candidate set is
+    re-scored with the same sequential-fold cosine expression
+    :func:`brute_force_knn` uses and ranked. The matmul does the O(N*P*d)
+    work; the fold touches only O(P*(k+8)*batches) rows — so the output is
+    bit-identical to the expression path (and its SQL oracle) while keeping
+    matmul throughput. The +8 headroom absorbs matmul-vs-fold float-order
+    rank flips at the k boundary (would need >8 near-exact ties inside one
+    Arrow batch to miss — degenerate-duplicate territory).
     """
     import pandas as pd
     from collections.abc import Iterator
@@ -90,33 +95,46 @@ def brute_force_knn_matmul(
     probe_ids = np.array([r[0] for r in rows], dtype=np.int64)
     pm = np.array([r[1] for r in rows], dtype=np.float64)
     pm /= np.maximum(np.linalg.norm(pm, axis=1, keepdims=True), 1e-300)
-    k_local = k + 1  # self-match removed after scoring
+    k_local = k + 8  # self-match + float-order headroom
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf[id_col].to_numpy()
-            cm = np.array(list(pdf[vec_col]), dtype=np.float64)
+            vecs = list(pdf[vec_col])
+            cm = np.array(vecs, dtype=np.float64)
             cm /= np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-300)
             sims = cm @ pm.T  # (batch, P)
             kk = min(k_local, sims.shape[0])
             top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, P)
-            n_p = pm.shape[0]
-            out_probe = np.repeat(probe_ids, kk)
-            out_nbr = ids[top.T.reshape(-1)]
-            out_cos = sims[top.T.reshape(-1), np.repeat(np.arange(n_p), kk)]
+            flat = top.T.reshape(-1)
             yield pd.DataFrame(
                 {
-                    "probe_id": out_probe,
-                    "neighbor_id": out_nbr,
-                    "cosine": np.round(out_cos, score_round),
+                    "probe_id": np.repeat(probe_ids, kk),
+                    "neighbor_id": ids[flat],
+                    "cv": [vecs[t] for t in flat],
                 }
             )
 
+    vec_t = corpus.schema[vec_col].dataType.simpleString()
     partials = corpus.select(id_col, vec_col).mapInPandas(
-        score, "probe_id bigint, neighbor_id bigint, cosine double"
+        score, f"probe_id bigint, neighbor_id bigint, cv {vec_t}"
+    )
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pv")
+    )
+    rescored = (
+        partials.where(F.col("probe_id") != F.col("neighbor_id"))
+        .join(F.broadcast(p), "probe_id")
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(simfn.cosine(F.col("pv"), F.col("cv")), score_round).alias(
+                "cosine"
+            ),
+        )
     )
     ranked = top_k_per_group(
-        partials.where(F.col("probe_id") != F.col("neighbor_id")),
+        rescored,
         ["probe_id"],
         [F.col("cosine").desc(), F.col("neighbor_id").asc()],
         k,
@@ -159,16 +177,25 @@ def lsh_bucketed_knn(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: candidates share a hyperplane bucket with the
-    probe (multi-probe: also buckets within `multiprobe_bits` bit flips),
+    probe (multi-probe: also every bucket within Hamming distance
+    `multiprobe_bits` of the probe's bucket — 0 disables expansion),
     then exact cosine + rank. Recall < 1 by design — the scale path."""
+    from itertools import combinations
+
     cb = with_hyperplane_bucket(corpus, dim, n_planes, seed, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         "bucket",
     )
     pb = with_hyperplane_bucket(probes, dim, n_planes, seed, vec_col)
-    # multi-probe bucket expansion
-    flips = [0] + [1 << i for i in range(n_planes)] if multiprobe_bits else [0]
+    # multi-probe bucket expansion: XOR masks of popcount 1..multiprobe_bits
+    # (round-2 verdict #4: depth used to be a boolean in disguise — any
+    # value >= 1 probed single-bit flips only)
+    flips = [0] + [
+        sum(1 << b for b in bits)
+        for d in range(1, min(multiprobe_bits, n_planes) + 1)
+        for bits in combinations(range(n_planes), d)
+    ]
     probe_buckets = pb.select(
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).alias("pv"),
@@ -220,6 +247,9 @@ def hyperplane_bands(
     rng = np.random.default_rng([seed, 4243])
     planes = rng.standard_normal((dim, n_tables * n_planes))
     weights = (1 << np.arange(n_planes, dtype=np.int64))[np.newaxis, :]
+    # pass-through id keeps its input type (string urls or bigint ids) —
+    # a hardcoded bigint broke Arrow conversion for string ids (r02 advice)
+    id_type = df.schema[id_col].dataType.simpleString()
 
     def buckets(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -242,7 +272,7 @@ def hyperplane_bands(
             )
 
     return df.select(id_col, vec_col).mapInPandas(
-        buckets, "id bigint, band_id int, band_hash bigint"
+        buckets, f"id {id_type}, band_id int, band_hash bigint"
     )
 
 
@@ -298,29 +328,52 @@ def embedding_near_dup_pairs_matmul(
 ) -> DataFrame:
     """Blocked all-pairs cosine >= threshold via per-block matmul
     (applyInPandas) — the throughput path for the embedding near-dup
-    channel (~50x the expression scorer; same float note as
-    :func:`brute_force_knn_matmul`). Blocks must fit in worker memory —
-    pre-split oversized blocks with a salt column upstream."""
+    channel (~50x the expression scorer). Blocks must fit in worker
+    memory — pre-split oversized blocks with a salt column upstream.
+
+    Bit-parity with the expression scorer (and its SQL oracle): the matmul
+    emits CANDIDATES at ``threshold - 1e-6`` (a guard band wider than both
+    the 1e-6 output rounding and the ~1e-13 matmul-vs-fold float-order
+    error), with both vectors riding along; the final cosine is then
+    re-computed on that tiny pair set with the same sequential-fold
+    expression :func:`embedding_near_dup_pairs` uses and re-thresholded.
+    """
     import pandas as pd
 
     def block(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf[id_col].to_numpy()
-        x = np.array(list(pdf[vec_col]), dtype=np.float64)
+        vecs = list(pdf[vec_col])
+        x = np.array(vecs, dtype=np.float64)
         x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-300)
         sims = x @ x.T
         iu, ju = np.triu_indices(len(ids), k=1)
-        rounded = np.round(sims[iu, ju], 6)
-        keep = rounded >= threshold  # same rounded-threshold rule as the
-        i, j = iu[keep], ju[keep]    # expression-based scorer
-        lo = np.minimum(ids[i], ids[j])
-        hi = np.maximum(ids[i], ids[j])
-        return pd.DataFrame({"id1": lo, "id2": hi, "cosine": rounded[keep]})
+        keep = sims[iu, ju] >= threshold - 1e-6  # guard band; exact
+        i, j = iu[keep], ju[keep]                # re-score prunes below
+        swap = ids[i] > ids[j]
+        lo = np.where(swap, j, i)
+        hi = np.where(swap, i, j)
+        return pd.DataFrame(
+            {
+                "id1": ids[lo],
+                "id2": ids[hi],
+                "v1": [vecs[t] for t in lo],
+                "v2": [vecs[t] for t in hi],
+            }
+        )
 
-    return (
+    vec_t = df.schema[vec_col].dataType.simpleString()
+    cand = (
         df.select(id_col, vec_col, block_col)
         .groupBy(block_col)
-        .applyInPandas(block, "id1 bigint, id2 bigint, cosine double")
+        .applyInPandas(
+            block, f"id1 bigint, id2 bigint, v1 {vec_t}, v2 {vec_t}"
+        )
     )
+    return cand.select(
+        "id1",
+        "id2",
+        F.round(simfn.cosine(F.col("v1"), F.col("v2")), 6).alias("cosine"),
+    ).where(F.col("cosine") >= threshold)
 
 
 def embedding_near_dup_pairs(

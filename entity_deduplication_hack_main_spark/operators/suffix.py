@@ -35,13 +35,18 @@ from entity_deduplication_hack_main_spark.functions import represent, textnorm
 
 
 def winnow_pairs_from_payload(
-    payload: DataFrame, min_df: int = 2, max_df: int = 1000, min_shared: int = 2
+    payload: DataFrame,
+    min_df: int = 2,
+    max_df: int | None = None,
+    min_shared: int = 2,
 ) -> DataFrame:
     """Distinct (id1, id2) sharing >= min_shared winnowed fingerprints.
 
     payload: (id, winnow_fps, ...) from the representation kernel.
     max_df: fingerprints in more than this many docs are boilerplate —
     skipped (documented coverage cap; callers should log the drop count).
+    Defaults to ``DedupConfig.winnow_max_df`` — ONE source of truth for the
+    knob across pipeline, standalone operator, and SQL oracle (r02 nit).
     min_shared: a single shared fingerprint is weak evidence — runs of a
     repeated common token hash identically across unrelated docs (measured:
     2.8M coincidental 1-fp pairs at 100k docs); true containment pairs
@@ -50,6 +55,8 @@ def winnow_pairs_from_payload(
     """
     from pyspark.sql import Window
 
+    if max_df is None:
+        max_df = DedupConfig().winnow_max_df
     fps = payload.select("id", F.explode("winnow_fps").alias("wfp"))
     # window count = one shuffle; the self-join reuses its partitioning
     m = fps.withColumn(
@@ -71,7 +78,7 @@ def substring_candidate_pairs(
     config: DedupConfig,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_df: int = 1000,
+    max_df: int | None = None,
     hash_strategy: str = "xxhash64",
 ) -> DataFrame:
     """Standalone: docs → kernel → winnow fingerprint candidate pairs."""
@@ -203,10 +210,12 @@ def sql_winnowed_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_df: int = 2,
-    max_df: int = 1000,
+    max_df: int | None = None,
     min_shared: int = 2,
 ) -> str:
     """DuckDB SELECT matching :func:`substring_candidate_pairs` (md5)."""
+    if max_df is None:
+        max_df = config.winnow_max_df
     return f"""
 WITH {represent.sql_repr_ctes(config, doc_table, id_col, text_col)},
 _f AS (SELECT id, unnest(wn) AS wfp FROM _wn),

@@ -22,17 +22,22 @@ def get_spark(
     """Build (or fetch) a local SparkSession.
 
     parallelism: local[N] cores; default $SPARK_GRAFT_CPUS or 32.
-    shuffle_partitions: default = 3x parallelism — the over-partitioning
-        gives AQE room to balance (coalescing merges the small ones), and
-        cuts the straggler tail of the last wave: with exactly N
-        partitions on N cores, one slow partition idles N-1 cores.
+    shuffle_partitions: default = parallelism. Straggler headroom comes
+        from AQE instead: ``initialPartitionNum = 3x cores`` lets AQE
+        start exchanges over-partitioned and coalesce down when volume
+        is small — big inputs get the 3x straggler cut, tiny inputs
+        aren't taxed with 96-partition exchanges (round-2 verdict #2).
     """
     cpus = parallelism or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    sp = shuffle_partitions or (3 * cpus)
+    sp = shuffle_partitions or cpus
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(sp))
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(3 * cpus),
+        )
         .config("spark.default.parallelism", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -16,9 +16,16 @@ Per micro-batch (`foreachBatch`), with `near_dup=True` (default):
    only each component's min-id representative survives;
 3. MinHash channel *against the corpus* — the batch's band hashes join the
    committed band index (bounded: bands×docs rows, no signatures re-read);
-   candidates are verified by MinHash signature agreement (the unbiased
-   Jaccard estimate; the committed shingle sets are not retained) at
-   `config.jaccard_similar`, and matching new docs are dropped;
+   candidates are scored by MinHash signature agreement (the unbiased
+   Jaccard estimate; the committed shingle sets are not retained).
+   Clear-cut candidates (|estimate − threshold| > `EST_MARGIN`) are decided
+   by the estimate alone; *borderline* candidates — where the 128-perm
+   estimator's σ ≈ 0.04 could flip the keep/drop decision vs the batch
+   pipeline's exact-Jaccard rule — are re-verified exactly: the few
+   committed docs involved are fetched from the deduped output table,
+   re-shingled, and compared by true Jaccard. Batch and streaming now
+   agree on every pair except the (exponentially rare) ones whose estimate
+   errs by more than EST_MARGIN;
 4. survivors append to the output plus two index tables — `_index`
    (id, fp, signature) and `_band_index` (id, band_id, band_hash).
 
@@ -29,6 +36,16 @@ recomputes the same survivor set and overwrites the same partitions
 instead of appending duplicates. Paths are probed through the Hadoop
 FileSystem (plans/fsutil.py), so `s3a://`/`hdfs://` workdirs behave like
 local ones.
+
+Self-overwrite safety: the index/output writes target the same paths their
+own input lineage reads (prior fingerprints, old bands, committed text).
+The batch's `fresh` and `survivors` frames are therefore
+``localCheckpoint(eager=True)``-ed — lineage is TRUNCATED before any write,
+so no write plan scans the path it is overwriting, regardless of cache
+eviction (round-2 advice: a recompute-under-eviction would otherwise race
+the overwrite on s3a/hdfs). If a checkpoint block is lost mid-batch the
+batch fails and the foreachBatch retry recomputes it — idempotent by the
+partition-overwrite design above.
 
 State growth: the indexes carry O(1 row + bands rows) per committed doc —
 fingerprint + 8-byte signature entries, never full text — which is the
@@ -50,6 +67,12 @@ from entity_deduplication_hack_main_spark.operators import cluster as cc_op
 from entity_deduplication_hack_main_spark.operators import lsh as lsh_op
 from entity_deduplication_hack_main_spark.operators import verify as verify_op
 from entity_deduplication_hack_main_spark.plans import fsutil
+
+
+#: half-width of the estimate band that triggers exact re-verification.
+#: At 128 perms the agreement estimator's std-dev near J=0.7 is
+#: sqrt(J(1-J)/128) ≈ 0.04, so ±0.1 is ±2.5σ — P(estimate off by more) < 1%.
+EST_MARGIN = 0.1
 
 
 class StreamingDedup:
@@ -82,20 +105,20 @@ class StreamingDedup:
             return self.spark.read.parquet(path)
         return self.spark.createDataFrame([], schema)
 
-    def _index(self, exclude_batch: int) -> DataFrame:
+    def _index(self, exclude_batch: int, id_type: str = "string") -> DataFrame:
         sig = ", signature array<bigint>" if self.near_dup else ""
         df = self._read_or_empty(
-            self.index_path, f"id string, fp string{sig}, batch_id bigint"
+            self.index_path, f"id {id_type}, fp string{sig}, batch_id bigint"
         )
         return df.where(F.col("batch_id") != F.lit(exclude_batch))
 
-    def _band_index(self, exclude_batch: int) -> DataFrame:
+    def _band_index(self, exclude_batch: int, id_type: str = "string") -> DataFrame:
         # bigint band keys (xxhash64) — the persisted index grows one row
         # per band per committed doc forever, so the 8-byte key vs a
         # 32-char md5 string is a 2.5x standing size difference
         df = self._read_or_empty(
             self.band_path,
-            "id string, band_id int, band_hash bigint, batch_id bigint",
+            f"id {id_type}, band_id int, band_hash bigint, batch_id bigint",
         )
         return df.where(F.col("batch_id") != F.lit(exclude_batch))
 
@@ -112,6 +135,7 @@ class StreamingDedup:
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         cfg = self.config
+        id_type = batch.schema[self.id_col].dataType.simpleString()
         with_fp = batch.withColumn(
             "fp", textstats.fingerprint(F.col(self.text_col))
         )
@@ -125,10 +149,12 @@ class StreamingDedup:
             .where(F.col("_rn") == 1)
             .drop("_rn")
         )
-        prior = self._index(exclude_batch=batch_id)
+        prior = self._index(exclude_batch=batch_id, id_type=id_type)
+        # localCheckpoint, not cache: fresh's lineage reads index_path,
+        # which this batch later overwrites — truncate it (module docstring)
         fresh = first.join(
             prior.select("fp").distinct(), "fp", "left_anti"
-        ).cache()
+        ).localCheckpoint(eager=True)
 
         if not self.near_dup:
             self._overwrite_partition(fresh.drop("fp"), self.out_path, batch_id)
@@ -159,11 +185,13 @@ class StreamingDedup:
         kept = payload.join(in_batch_drop, "id", "left_anti").cache()
 
         # near-dup vs the committed corpus: shared band bucket → signature
-        # agreement (MinHash Jaccard estimate) >= jaccard_similar
+        # agreement (MinHash Jaccard estimate); borderline estimates get an
+        # exact-Jaccard re-verify against the committed docs' re-shingled
+        # text so batch and streaming agree on the same pair (r02 verdict)
         kept_bands = lsh_op.band_hashes(kept, cfg, "signature", "id", "xxhash64")
-        old_bands = self._band_index(exclude_batch=batch_id).select(
-            F.col("id").alias("old_id"), "band_id", "band_hash"
-        )
+        old_bands = self._band_index(
+            exclude_batch=batch_id, id_type=id_type
+        ).select(F.col("id").alias("old_id"), "band_id", "band_hash")
         cand = (
             kept_bands.join(old_bands, ["band_id", "band_hash"])
             .select("id", "old_id")
@@ -178,14 +206,28 @@ class StreamingDedup:
                 lambda x: x,
             )
         ) / F.lit(cfg.num_perms)
-        corpus_drop = (
-            cand.join(kept.select("id", "signature"), "id")
+        t = float(cfg.jaccard_similar)
+        scored = (
+            cand.join(kept.select("id", "signature", "shingle_set"), "id")
             .join(old_sigs, "old_id")
-            .where(agree >= F.lit(cfg.jaccard_similar))
-            .select("id")
-            .distinct()
+            .withColumn("_est", agree)
         )
-        survivors = kept.join(corpus_drop, "id", "left_anti").select("id").cache()
+        sure_drop = scored.where(
+            F.col("_est") >= F.lit(t + EST_MARGIN)
+        ).select("id")
+        borderline = scored.where(
+            (F.col("_est") < F.lit(t + EST_MARGIN))
+            & (F.col("_est") >= F.lit(t - EST_MARGIN))
+        ).select("id", "old_id", "shingle_set")
+        borderline_drop = self._exact_reverify(borderline, batch_id, id_type)
+        corpus_drop = sure_drop.unionByName(borderline_drop).distinct()
+        # localCheckpoint: survivors' lineage reads index_path, band_path
+        # AND out_path (borderline text fetch) — all overwritten below
+        survivors = (
+            kept.join(corpus_drop, "id", "left_anti")
+            .select("id")
+            .localCheckpoint(eager=True)
+        )
 
         out_rows = fresh.join(
             survivors.withColumnRenamed("id", self.id_col), self.id_col, "left_semi"
@@ -203,8 +245,44 @@ class StreamingDedup:
             self.band_path,
             batch_id,
         )
-        for df in (fresh, payload, kept, survivors):
+        for df in (payload, kept):
             df.unpersist()
+
+    def _exact_reverify(
+        self, borderline: DataFrame, batch_id: int, id_type: str
+    ) -> DataFrame:
+        """(id) new docs whose borderline candidate pair is a TRUE near-dup
+        by exact Jaccard: fetch the committed partner docs from the deduped
+        output table, re-shingle their text, intersect/union shingle sets.
+
+        Bounded: only pairs with |estimate - threshold| <= EST_MARGIN reach
+        this — at 128 perms that is the ±2.5σ band, a few % of candidates —
+        and only distinct old_ids are fetched (left-semi on the committed
+        table, pushed down to the parquet scan).
+        """
+        out = self._read_or_empty(
+            self.out_path,
+            f"{self.id_col} {id_type}, {self.text_col} string, batch_id bigint",
+        ).where(F.col("batch_id") != F.lit(batch_id))
+        old_docs = out.select(
+            F.col(self.id_col).alias("old_id"), self.text_col
+        ).join(borderline.select("old_id").distinct(), "old_id", "left_semi")
+        old_repr = represent.with_representation(
+            old_docs, self.config, "old_id", self.text_col
+        ).select(  # with_representation renames the id col to "id"
+            F.col("id").alias("old_id"),
+            F.col("shingle_set").alias("old_shingles"),
+        )
+        union_sz = F.size(F.array_union("shingle_set", "old_shingles"))
+        jaccard = F.when(union_sz == 0, F.lit(1.0)).otherwise(
+            F.size(F.array_intersect("shingle_set", "old_shingles")) / union_sz
+        )
+        return (
+            borderline.join(old_repr, "old_id")
+            .where(jaccard >= F.lit(float(self.config.jaccard_similar)))
+            .select("id")
+            .distinct()
+        )
 
     def start(self, source_dir: str, schema: str, trigger_once: bool = True):
         stream = (

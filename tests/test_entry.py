@@ -55,16 +55,13 @@ def test_entry_smoke(spark, entry_mod):
     assert len(rows) > 0
 
 
-# rows-only checked (documented): matmul float summation order differs from
-# a sequential SQL fold at ~1e-15, so no bit-exact oracle exists
-ROWS_ONLY = {"knn_matmul", "embedding_near_dup_matmul"}
-
-
 def test_every_query_has_callable_and_oracle_keys(entry_mod):
+    # since r03 EVERY query is oracle-checked — the matmul twins emit a
+    # guard-band candidate set and re-score with the fold expression, so
+    # they bit-match the same SQL oracle as their expression twins
     qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
     assert len(qs) >= 20
-    assert set(osql) <= set(qs)
-    assert set(qs) - set(osql) == ROWS_ONLY
+    assert set(osql) == set(qs)
 
 
 def test_knn_matmul_agrees_with_exact(spark, sf001, entry_mod):
@@ -98,6 +95,7 @@ def test_near_dup_matmul_agrees_with_exact(spark, sf001, entry_mod):
         "revenue_by_nation", "customers_without_orders", "events_hourly",
         "purchasers_without_errors", "similar_part_names", "knn_bruteforce",
         "embedding_near_dup_pairs", "exact_dup_group_count", "event_sessions",
+        "knn_matmul", "embedding_near_dup_matmul",
     ],
 )
 def test_query_matches_oracle(spark, sf001, entry_mod, duck, name):
