@@ -37,6 +37,16 @@ class DedupConfig:
     salt_chunk: int = 256         # member-chunk size for salted pair gen
     winnow_max_df: int = 200      # winnow fps in more docs = boilerplate,
     #                               skipped (documented coverage cap)
+    # --- exact-substring span pass (the north-star "suffix-array pass") --
+    substring_span_k: int | None = None  # gram length in tokens; None = the
+    #                               span-cutting stage is off. When set, the
+    #                               pipeline also emits (id1, id2, start1,
+    #                               start2, span_len) maximal verbatim runs
+    #                               >= span_k tokens (operators/suffix.py
+    #                               substring_spans_exact) for span CUTTING
+    #                               à la Lee et al. 2021 — spans don't merge
+    #                               clusters (two long docs sharing one
+    #                               quote are not duplicates).
     # --- clustering ------------------------------------------------------
     max_cc_iterations: int = 50   # union-find safety cap (O(log n) expected)
 

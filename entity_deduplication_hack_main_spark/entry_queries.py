@@ -850,7 +850,8 @@ WHERE u.m
 WITH {_REPR},
 _f AS (SELECT id, unnest(wn) AS wfp FROM _wn),
 _keep AS (
-  SELECT wfp FROM _f GROUP BY wfp HAVING count(*) BETWEEN 2 AND 1000
+  SELECT wfp FROM _f GROUP BY wfp
+  HAVING count(*) BETWEEN 2 AND {CFG.winnow_max_df}
 ),
 _m AS (SELECT _f.id, _f.wfp FROM _f JOIN _keep USING (wfp)),
 _wpairs AS (
@@ -899,6 +900,22 @@ def winnow_containment_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return side("spans1", 1).unionByName(side("spans2", 2))
+
+
+@register(
+    "exact_substring_spans",
+    suffix_op.sql_substring_spans(CFG, span_k=20),
+)
+def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-free exact-substring pass (the north-star "suffix-array
+    pass"): every maximal verbatim run >= 20 tokens shared between any two
+    docs, with token offsets in both — no candidate pairs in. Catches the
+    20-50-token verbatim runs below the winnow channel's 52-token
+    guarantee (see operators/suffix.py substring_spans_exact)."""
+    docs = _t(spark, sf_dir, "documents")
+    return suffix_op.substring_spans_exact(
+        docs, CFG, span_k=20, hash_strategy="md5"
+    )
 
 
 @register(

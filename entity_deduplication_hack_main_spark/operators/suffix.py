@@ -229,3 +229,149 @@ FROM _m a JOIN _m b ON a.wfp = b.wfp AND a.id < b.id
 GROUP BY a.id, b.id
 HAVING count(*) >= {min_shared}
 """
+
+
+# ==========================================================================
+# Reference-free exact-substring spans (the north-star "suffix-array pass")
+# ==========================================================================
+
+
+def substring_spans_exact(
+    docs: DataFrame,
+    config: DedupConfig,
+    span_k: int = 20,
+    max_df: int | None = None,
+    min_span: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_strategy: str = "xxhash64",
+) -> DataFrame:
+    """(id1, id2, start1, start2, span_len): every maximal verbatim token
+    run of >= min_span tokens shared between two docs — REFERENCE-FREE
+    (no candidate pairs in; the pass discovers them), the distributed
+    rendering of Lee et al. 2021's corpus suffix-array substring dedup.
+
+    A suffix array finds repeats by indexing every suffix; this pass
+    indexes every POSITION's span_k-token rolling gram instead: any shared
+    run of >= span_k tokens shares an aligned gram at every offset, so
+    consecutive anchors on a (id1, id2, pos1-pos2) diagonal reconstruct the
+    maximal run exactly — start offsets and length in token units, both
+    docs. Sensitivity starts at span_k tokens (default 20), well below the
+    winnow channel's k + w - 1 = 52-token guarantee.
+
+    vs the winnow channel: winnowing keeps ~2/w of positions (cheap,
+    coverage floor 52 tokens); this pass keeps ALL positions (one gram row
+    per token — the same O(n) index volume a suffix array pays) for exact
+    >= span_k sensitivity. Run it as its own stage over the corpus, like
+    Lee et al. run their suffix-array pass.
+
+    Scale shape: gram rows are (id, pos, hash) — 20 bytes; one window
+    count over gram (df cap: grams in more than max_df positions are
+    boilerplate, skipped — the documented coverage cap shared with the
+    winnow channel), one self-join keyed on gram (bucket-bounded by
+    max_df²), one gaps-and-islands window keyed by (id1, id2, diagonal).
+    No per-row Python anywhere. Caveats: a df-capped gram mid-run splits
+    the reported span in two (same caveat as winnowing); 64-bit gram
+    hashes collide at ~n²/2^64 — at 10^12-doc scale set
+    min_span >= span_k + 1 so a span needs >= 2 consecutive anchor
+    collisions, which kills singletons.
+    """
+    from dataclasses import replace
+
+    from pyspark.sql import Window
+
+    if max_df is None:
+        max_df = config.winnow_max_df
+    if min_span is None:
+        min_span = span_k
+    cfg_k = replace(config, shingle_k=span_k)
+    # docs shorter than span_k tokens emit one DEGENERATE whole-text gram
+    # (kernel contract) — they can never hold a >= span_k-token span, so
+    # filter them before gram generation (oracle mirrors: len(th) >= k)
+    eligible = docs.where(
+        F.size(represent.token_hashes(F.col(text_col), hash_strategy))
+        >= span_k
+    )
+    sh = represent.with_ordered_shingles(
+        eligible, cfg_k, id_col, text_col, hash_strategy
+    )
+    g = sh.select("id", F.posexplode("shingles").alias("pos", "g"))
+    m = (
+        g.withColumn("cnt", F.count("*").over(Window.partitionBy("g")))
+        .where((F.col("cnt") >= 2) & (F.col("cnt") <= max_df))
+        .drop("cnt")
+    )
+    anchors = (
+        m.select(F.col("id").alias("id1"), F.col("pos").alias("pos1"), "g")
+        .join(
+            m.select(
+                F.col("id").alias("id2"), F.col("pos").alias("pos2"), "g"
+            ),
+            "g",
+        )
+        .where(F.col("id1") < F.col("id2"))
+        .select("id1", "pos1", "id2", "pos2")
+    )
+    diag = F.col("pos1") - F.col("pos2")
+    w = Window.partitionBy("id1", "id2", diag).orderBy("pos1")
+    isl = anchors.withColumn("diag", diag).withColumn(
+        "grp", F.col("pos1") - F.row_number().over(w)
+    )
+    return (
+        isl.groupBy("id1", "id2", "diag", "grp")
+        .agg(
+            F.min("pos1").alias("start1"),
+            F.min("pos2").alias("start2"),
+            (F.count("*") + F.lit(span_k - 1)).cast("int").alias("span_len"),
+        )
+        .where(F.col("span_len") >= min_span)
+        .select("id1", "id2", "start1", "start2", "span_len")
+    )
+
+
+def sql_substring_spans(
+    config: DedupConfig,
+    span_k: int = 20,
+    max_df: int | None = None,
+    min_span: int | None = None,
+    doc_table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB SELECT matching :func:`substring_spans_exact` (md5)."""
+    from dataclasses import replace
+
+    if max_df is None:
+        max_df = config.winnow_max_df
+    if min_span is None:
+        min_span = span_k
+    cfg_k = replace(config, shingle_k=span_k)
+    return f"""
+WITH {represent.sql_repr_ctes(cfg_k, doc_table, id_col, text_col)},
+_g AS (
+  SELECT id, (u.i - 1)::INT AS pos, u.g AS g
+  FROM (
+    SELECT _sh.id AS id,
+           unnest(list_transform(sh, (x, i) -> {{'i': i, 'g': x}})) AS u
+    FROM _sh JOIN _th USING (id)
+    WHERE len(th) >= {span_k}
+  )
+),
+_keep AS (SELECT g FROM _g GROUP BY g HAVING count(*) BETWEEN 2 AND {max_df}),
+_m AS (SELECT id, pos, g FROM _g JOIN _keep USING (g)),
+_anchor AS (
+  SELECT a.id AS id1, a.pos AS pos1, b.id AS id2, b.pos AS pos2
+  FROM _m a JOIN _m b ON a.g = b.g AND a.id < b.id
+),
+_isl AS (
+  SELECT id1, id2, pos1 - pos2 AS diag, pos1, pos2,
+         pos1 - row_number() OVER (
+             PARTITION BY id1, id2, pos1 - pos2 ORDER BY pos1) AS grp
+  FROM _anchor
+)
+SELECT id1, id2,
+       min(pos1)::INT AS start1, min(pos2)::INT AS start2,
+       (count(*) + {span_k - 1})::INT AS span_len
+FROM _isl GROUP BY id1, id2, diag, grp
+HAVING (count(*) + {span_k - 1}) >= {min_span}
+"""

@@ -41,6 +41,10 @@ class PipelineResult:
     edges: DataFrame         # (id1, id2) duplicate edges
     assignments: DataFrame   # (id/node, cluster_id)
     committer: StageCommitter
+    # maximal verbatim >= span_k-token runs for span CUTTING (Lee et al.
+    # 2021); only when config.substring_span_k is set, else None. Spans do
+    # NOT feed the edge set — sharing one quote doesn't merge two docs.
+    spans: DataFrame | None = None
 
 
 def run_pipeline(
@@ -163,4 +167,20 @@ def run_pipeline(
 
     assignments = com.stage("assignments", build_assignments)
 
-    return PipelineResult(payload, candidates, verified, edges, assignments, com)
+    spans = None
+    if config.substring_span_k is not None:
+        spans = com.stage(
+            "substring_spans",
+            lambda: suffix.substring_spans_exact(
+                docs,
+                config,
+                span_k=config.substring_span_k,
+                id_col=id_col,
+                text_col=text_col,
+                hash_strategy=hash_strategy,
+            ),
+        )
+
+    return PipelineResult(
+        payload, candidates, verified, edges, assignments, com, spans
+    )

@@ -51,6 +51,19 @@ def main() -> None:
                          "pipeline. Requires --workdir.")
     ap.add_argument("--streaming-schema",
                     default="url string, warc_ts timestamp, text string")
+    ap.add_argument("--table-format", choices=["parquet", "iceberg"],
+                    default=None,
+                    help="input/output table format; default "
+                         "$SPARK_DEDUP_TABLE_FORMAT or parquet. iceberg "
+                         "targets are catalog.db.table identifiers and "
+                         "need the runtime jar + catalog conf "
+                         "(sources/tables.py iceberg_spark_conf)")
+    ap.add_argument("--span-k", type=int, default=None,
+                    help="also run the exact-substring span pass (maximal "
+                         "verbatim runs >= span-k tokens; Lee et al. 2021 "
+                         "span cutting) and write spans to --spans-output")
+    ap.add_argument("--spans-output", default=None,
+                    help="sink for the span pass (requires --span-k)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -58,11 +71,15 @@ def main() -> None:
     from entity_deduplication_hack_main_spark import DedupConfig, get_spark
     from entity_deduplication_hack_main_spark.operators import extraction
     from entity_deduplication_hack_main_spark.plans.pipeline import run_pipeline
-    from entity_deduplication_hack_main_spark.sources import corpus, sinks
+    from entity_deduplication_hack_main_spark.sources import corpus, sinks, tables
 
     active = SparkSession.getActiveSession()
     spark = active or get_spark(parallelism=args.cpus)
     config = DedupConfig()
+    if args.span_k:
+        from dataclasses import replace
+
+        config = replace(config, substring_span_k=args.span_k)
 
     if args.streaming_source:
         if not args.workdir:
@@ -92,7 +109,7 @@ def main() -> None:
     else:
         if not args.input:
             ap.error("--input or --synthetic required")
-        docs = spark.read.parquet(args.input)
+        docs = tables.read_table(spark, args.input, args.table_format)
         id_col, text_col = args.id_col, args.text_col
 
     if args.extract_html:
@@ -106,7 +123,9 @@ def main() -> None:
         id_col=id_col, text_col=text_col,
         workdir=args.workdir, run_id=run_id,
     )
-    sinks.write_clusters(res.assignments, args.output)
+    tables.write_table(res.assignments, args.output, args.table_format)
+    if res.spans is not None and args.spans_output:
+        tables.write_table(res.spans, args.spans_output, args.table_format)
     n = res.assignments.count()
     n_clusters = res.assignments.select("cluster_id").distinct().count()
     wall = time.monotonic() - t0

@@ -433,3 +433,65 @@ def test_local_and_distributed_cc_identical(spark):
         ).collect()
     }
     assert local == dist
+
+
+def test_substring_spans_find_planted_run(spark):
+    """A verbatim 25-token run (below the winnow 52-token guarantee) must
+    be reported with exact offsets in both docs; sub-threshold overlap and
+    short docs must not."""
+    run = " ".join(f"shared{i}" for i in range(25))
+    doc0 = "alpha beta " + run + " gamma delta epsilon"          # run at tok 2
+    doc1 = " ".join(f"left{i}" for i in range(7)) + " " + run     # run at tok 7
+    doc2 = " ".join(f"noise{i}" for i in range(30))               # no overlap
+    doc3 = "tiny doc"                                             # < span_k toks
+    docs = spark.createDataFrame(
+        [(0, doc0), (1, doc1), (2, doc2), (3, doc3)],
+        "doc_id bigint, text string",
+    )
+    out = suffix.substring_spans_exact(
+        docs, DedupConfig(), span_k=20, max_df=50
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["id1"], r["id2"]) == (0, 1)
+    assert r["start1"] == 2 and r["start2"] == 7 and r["span_len"] == 25
+
+
+def test_substring_spans_below_k_not_reported(spark):
+    """A shared run shorter than span_k yields no anchors at all."""
+    run = " ".join(f"shared{i}" for i in range(15))
+    docs = spark.createDataFrame(
+        [
+            (0, " ".join(f"a{i}" for i in range(10)) + " " + run),
+            (1, run + " " + " ".join(f"b{i}" for i in range(10))),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = suffix.substring_spans_exact(
+        docs, DedupConfig(), span_k=20, max_df=50
+    ).collect()
+    assert out == []
+
+
+def test_substring_spans_two_disjoint_runs_stay_separate(spark):
+    """Two shared runs separated by divergent text must come back as two
+    maximal spans, not one merged one."""
+    r1 = " ".join(f"one{i}" for i in range(20))
+    r2 = " ".join(f"two{i}" for i in range(22))
+    docs = spark.createDataFrame(
+        [
+            (0, r1 + " xa xb xc " + r2),
+            (1, r1 + " ya yb yc yd " + r2),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = sorted(
+        suffix.substring_spans_exact(
+            docs, DedupConfig(), span_k=20, max_df=50
+        ).collect(),
+        key=lambda r: r["start1"],
+    )
+    assert [(r["start1"], r["start2"], r["span_len"]) for r in out] == [
+        (0, 0, 20),
+        (23, 24, 22),
+    ]

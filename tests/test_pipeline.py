@@ -132,3 +132,33 @@ def test_resume_skips_committed_stages(spark, docs, tmp_path):
     lineage = r2.committer.lineage()
     stages = {r["stage"] for r in lineage.select("stage").distinct().collect()}
     assert stages == {"payload", "candidates", "verified", "edges", "assignments"}
+
+
+def test_pipeline_substring_span_stage(spark):
+    """config.substring_span_k turns on the span-cutting stage: a planted
+    verbatim 25-token run between two otherwise-different docs is reported
+    with exact offsets, and does NOT merge the docs into one cluster."""
+    from dataclasses import replace
+
+    run = " ".join(f"quoted{i}" for i in range(25))
+    filler_a = " ".join(f"alpha{i}" for i in range(80))
+    filler_b = " ".join(f"beta{i}" for i in range(80))
+    docs = spark.createDataFrame(
+        [(0, filler_a + " " + run), (1, run + " " + filler_b)],
+        "doc_id bigint, text string",
+    )
+    cfg = replace(DedupConfig(), substring_span_k=20)
+    res = run_pipeline(spark, docs, cfg)
+    spans = res.spans.collect()
+    assert [(r["id1"], r["id2"], r["start1"], r["start2"], r["span_len"])
+            for r in spans] == [(0, 1, 80, 0, 25)]
+    # one shared quote must not cluster the two long docs together
+    asn = {r["id"]: r["cluster_id"] for r in res.assignments.collect()}
+    assert asn[0] != asn[1]
+
+
+def test_pipeline_spans_none_when_disabled(spark):
+    docs = spark.createDataFrame(
+        [(0, "one doc only here")], "doc_id bigint, text string"
+    )
+    assert run_pipeline(spark, docs, DedupConfig()).spans is None

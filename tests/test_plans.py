@@ -104,3 +104,49 @@ def test_partition_pruning_on_warc_day(spark, tmp_path):
         "PartitionFilters"
     )[1][:200]
     assert q.count() > 0
+
+
+def test_table_format_abstraction_parquet_roundtrip(spark, tmp_path):
+    """tables.write_corpus/read_table parquet path: day-partitioned layout,
+    roundtrip intact, pruning-capable partition column present."""
+    from pyspark.sql import functions as F
+
+    from entity_deduplication_hack_main_spark.sources import tables
+
+    docs = spark.createDataFrame(
+        [(1, "a", "2024-01-01 03:00:00"), (2, "b", "2024-01-02 03:00:00")],
+        "doc_id bigint, text string, ts string",
+    ).withColumn("warc_ts", F.col("ts").cast("timestamp")).drop("ts")
+    out = str(tmp_path / "corpus")
+    tables.write_corpus(docs, out, fmt="parquet")
+    back = tables.read_table(spark, out, fmt="parquet")
+    assert back.count() == 2
+    assert "warc_day" in back.columns
+    import os
+
+    assert any(d.startswith("warc_day=") for d in os.listdir(out))
+
+
+def test_table_format_env_resolution(monkeypatch):
+    from entity_deduplication_hack_main_spark.sources import tables
+
+    monkeypatch.delenv(tables.ENV_FORMAT, raising=False)
+    assert tables.table_format() == "parquet"
+    monkeypatch.setenv(tables.ENV_FORMAT, "iceberg")
+    assert tables.table_format() == "iceberg"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        tables.table_format("delta")
+
+
+def test_iceberg_path_fails_with_typed_error_without_runtime(spark):
+    """No Iceberg jar in this sandbox: the iceberg code path must fail
+    with the typed, actionable error — not a raw Py4J stack."""
+    import pytest as _pytest
+
+    from entity_deduplication_hack_main_spark.sources import tables
+
+    df = spark.createDataFrame([(1,)], "doc_id bigint")
+    with _pytest.raises(tables.IcebergUnavailableError, match="iceberg-spark-runtime"):
+        tables.write_table(df, "dedup.db.t", fmt="iceberg")
