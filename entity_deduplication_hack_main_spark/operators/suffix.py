@@ -296,21 +296,27 @@ def substring_spans_exact(
         eligible, cfg_k, id_col, text_col, hash_strategy
     )
     g = sh.select("id", F.posexplode("shingles").alias("pos", "g"))
-    m = (
-        g.withColumn("cnt", F.count("*").over(Window.partitionBy("g")))
-        .where((F.col("cnt") >= 2) & (F.col("cnt") <= max_df))
-        .drop("cnt")
+    # ONE kernel + gram pass: bucket members per gram (bounded by max_df,
+    # so the array is <= max_df structs), then pair within the bucket via
+    # two narrow explodes. A count-window + self-join formulation would
+    # tokenize/shingle/explode the whole corpus TWICE and shuffle it twice
+    # — at corpus scale the gram table is the largest intermediate there
+    # is (one row per token), so the single groupBy is the plan to want.
+    memb = (
+        g.groupBy("g")
+        .agg(F.collect_list(F.struct("id", "pos")).alias("ms"))
+        .where((F.size("ms") >= 2) & (F.size("ms") <= max_df))
     )
     anchors = (
-        m.select(F.col("id").alias("id1"), F.col("pos").alias("pos1"), "g")
-        .join(
-            m.select(
-                F.col("id").alias("id2"), F.col("pos").alias("pos2"), "g"
-            ),
-            "g",
+        memb.select(F.explode("ms").alias("a"), "ms")
+        .select("a", F.explode("ms").alias("b"))
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("a.pos").alias("pos1"),
+            F.col("b.id").alias("id2"),
+            F.col("b.pos").alias("pos2"),
         )
-        .where(F.col("id1") < F.col("id2"))
-        .select("id1", "pos1", "id2", "pos2")
     )
     diag = F.col("pos1") - F.col("pos2")
     w = Window.partitionBy("id1", "id2", diag).orderBy("pos1")

@@ -495,3 +495,46 @@ def test_substring_spans_two_disjoint_runs_stay_separate(spark):
         (0, 0, 20),
         (23, 24, 22),
     ]
+
+
+def test_hyperplane_bands_pass_through_string_ids(spark):
+    """r02 advice: the banding output schema must inherit the id type —
+    string url ids used to break Arrow conversion."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = [(f"url{i}", [float(x) for x in rng.standard_normal(16)])
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "url string, embedding array<double>")
+    out = knn.hyperplane_bands(
+        df, dim=16, n_planes=4, n_tables=2, id_col="url"
+    )
+    assert out.schema["id"].dataType.simpleString() == "string"
+    assert out.count() == 40  # 20 ids x 2 tables
+
+
+def test_multiprobe_depth_expands_candidate_recall(spark):
+    """r02 verdict #4: multiprobe_bits is a real Hamming depth now —
+    deeper probing can only add candidates, so brute-force agreement is
+    monotone in the depth (and depth 2 probes 2-bit flips at all)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    vecs = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(200)]
+    df = spark.createDataFrame(vecs, "vec_id bigint, embedding array<double>")
+    probes = df.where(F.col("vec_id") % 20 == 0)
+    exact = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in knn.brute_force_knn(probes, df, k=3, id_col="vec_id").collect()
+    }
+    rec = []
+    for depth in (0, 1, 2):
+        got = {
+            (r["probe_id"], r["neighbor_id"])
+            for r in knn.lsh_bucketed_knn(
+                probes, df, dim=8, k=3, n_planes=6, multiprobe_bits=depth
+            ).collect()
+        }
+        rec.append(len(got & exact) / len(exact))
+    assert rec[0] <= rec[1] <= rec[2]
+    assert rec[2] > rec[0]  # deeper probing must actually add recall here
