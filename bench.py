@@ -63,10 +63,15 @@ def run_pipeline_bench(
     returns wall time + docs/sec.
 
     reps > 1: runs ``reps`` timed legs after one discarded warm-up leg and
-    reports the median — the same protocol the queries get. A cold
-    single-shot leg mixes JVM/kernel/broadcast warm-up (14-25s at 5k docs
-    on this host) into a 3-4s steady-state job and tracks host loadavg,
-    which made BENCH_r02's headline throughput lie (round-2 verdict #1).
+    reports the median — JVM/codegen warm, CACHE COLD. A cold single-shot
+    leg mixes JVM/kernel/broadcast warm-up (14-25s at 5k docs on this
+    host) into the steady-state job (round-2 verdict #1); but naive warm
+    re-runs are equally wrong in the other direction: the pipeline caches
+    its stage outputs, Spark's CacheManager substitutes plan-identical
+    subtrees from the PREVIOUS leg, and a repeat leg reads leg-1's cached
+    assignments instead of recomputing (measured: 200k docs "ran" in 5.5s
+    = 36k docs/s, pure cache fiction). So every timed leg starts with
+    ``spark.catalog.clearCache()`` and re-pins the corpus before t0.
     Per-leg walls + loadavg are reported so the judge can see contention.
     """
     import statistics
@@ -75,16 +80,17 @@ def run_pipeline_bench(
     from entity_deduplication_hack_main_spark.plans.pipeline import run_pipeline
     from entity_deduplication_hack_main_spark.sources import corpus
 
-    docs = (
-        corpus.synthesize_corpus(spark, n_docs=n_docs, seed=seed, size_mult=size_mult)
-        .select("doc_id", "text")
-        .cache()
-    )
-    docs.count()  # corpus generation excluded from dedup timing
+    docs_src = corpus.synthesize_corpus(
+        spark, n_docs=n_docs, seed=seed, size_mult=size_mult
+    ).select("doc_id", "text")
 
     legs, loadavgs, n_clusters = [], [], 0
     total_legs = reps + 1 if reps > 1 else 1
+    docs = None
     for leg in range(total_legs):
+        spark.catalog.clearCache()  # no cross-leg stage-cache substitution
+        docs = docs_src.cache()
+        docs.count()  # corpus generation excluded from dedup timing
         loadavgs.append(round(os.getloadavg()[0], 2))
         t0 = time.monotonic()
         res = run_pipeline(spark, docs, DedupConfig())
@@ -151,7 +157,9 @@ def main() -> None:
 
     if args.pipeline_only:
         spark = _spark(cpus)
-        stats = run_pipeline_bench(spark, args.ndocs, size_mult=args.size_mult)
+        stats = run_pipeline_bench(
+            spark, args.ndocs, size_mult=args.size_mult, reps=args.reps
+        )
         print("PIPELINE_RESULT " + json.dumps(stats))
         spark.stop()
         return
@@ -161,10 +169,15 @@ def main() -> None:
         assert len(levels) == 2 and levels[1] == 4 * levels[0], "need N,4N"
         results = {}
         for n in levels:
+            # children inherit --reps: each level reports the MEDIAN of
+            # reps warm legs (first leg discarded) — host noise on this
+            # box is one-sided (a leg only gets slower) and hits the
+            # high-parallelism leg hardest, so single-shot legs understate
+            # true scaling (measured local[8] spread: 123-216s same conf)
             cmd = [
                 sys.executable, os.path.abspath(__file__),
                 "--pipeline-only", "--cpus", str(n), "--ndocs", str(args.ndocs),
-                "--size-mult", str(args.size_mult),
+                "--size-mult", str(args.size_mult), "--reps", str(args.reps),
             ]
             if args.pin_cpus:
                 # Confine the WHOLE process tree (JVM task threads, GC,

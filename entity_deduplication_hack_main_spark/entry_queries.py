@@ -919,6 +919,22 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "substring_cut_docs",
+    suffix_op.sql_cut_spans(suffix_op.sql_substring_spans(CFG, span_k=20)),
+)
+def substring_cut_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span CUTTING (Lee et al. 2021's dedup action): the corpus with each
+    duplicated >= 20-token run removed from the higher-id doc — the
+    downstream product of exact_substring_spans a training-data pipeline
+    actually consumes."""
+    docs = _t(spark, sf_dir, "documents")
+    spans = suffix_op.substring_spans_exact(
+        docs, CFG, span_k=20, hash_strategy="md5"
+    )
+    return suffix_op.cut_spans(docs, spans)
+
+
+@register(
     "embedding_near_dup_lsh",
     """
 WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

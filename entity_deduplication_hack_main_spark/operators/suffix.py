@@ -381,3 +381,83 @@ SELECT id1, id2,
 FROM _isl GROUP BY id1, id2, diag, grp
 HAVING (count(*) + {span_k - 1}) >= {min_span}
 """
+
+
+def cut_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_tokens, n_cut, text_cut): the corpus with duplicated spans
+    REMOVED — Lee et al. 2021's actual dedup action (drop one occurrence
+    of each duplicated substring, keep the other).
+
+    Policy: the lower-id doc (spans.id1) keeps its text; the higher-id doc
+    (spans.id2) loses tokens [start2, start2 + span_len). Output text is
+    the doc's NORMALIZED tokens minus the cut ranges, space-joined — spans
+    are defined over kernel tokenization, so cutting happens in the same
+    coordinate system (byte-level splicing of raw text would need raw
+    offsets the hash kernel never sees).
+
+    All-expression: ranges broadcast-grouped per doc, token filter is one
+    indexed lambda over the token array with an `exists` over the (few)
+    ranges — no shuffle beyond the ranges groupBy, no Python. Docs without
+    spans pass through with n_cut = 0.
+    """
+    ranges = spans.groupBy(F.col("id2").alias("_cid")).agg(
+        F.collect_list(F.struct("start2", "span_len")).alias("_ranges")
+    )
+    toks = textnorm.tokens(textnorm.normalize(F.col(text_col)))
+    base = docs.select(
+        F.col(id_col).alias("id"), toks.alias("_toks")
+    ).join(ranges, F.col("id") == F.col("_cid"), "left")
+    keep = F.filter(
+        F.col("_toks"),
+        lambda t, i: ~F.exists(
+            F.col("_ranges"),
+            lambda r: (i >= r["start2"])
+            & (i < r["start2"] + r["span_len"]),
+        ),
+    )
+    kept = F.when(F.col("_ranges").isNull(), F.col("_toks")).otherwise(keep)
+    return base.select(
+        "id",
+        F.size("_toks").alias("n_tokens"),
+        (F.size("_toks") - F.size(kept)).cast("int").alias("n_cut"),
+        F.array_join(kept, " ").alias("text_cut"),
+    )
+
+
+def sql_cut_spans(
+    spans_select: str,
+    doc_table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB SELECT matching :func:`cut_spans`; ``spans_select`` is a
+    SELECT yielding (id1, id2, start1, start2, span_len) — e.g.
+    :func:`sql_substring_spans` minus its WITH (CTEs are inlined here)."""
+    toks = textnorm.sql_tokens(textnorm.sql_normalize(text_col))
+    return f"""
+WITH _spans AS ({spans_select}),
+_ranges AS (
+  SELECT id2 AS cid, list({{'s': start2, 'l': span_len}}) AS rs
+  FROM _spans GROUP BY id2
+),
+_docs AS (SELECT {id_col} AS id, {toks} AS toks FROM {doc_table})
+SELECT id, len(toks)::INT AS n_tokens,
+       (len(toks) - len(kept))::INT AS n_cut,
+       coalesce(array_to_string(kept, ' '), '') AS text_cut
+FROM (
+  SELECT id, toks,
+         CASE WHEN rs IS NULL THEN toks ELSE
+           list_transform(
+             list_filter(list_transform(toks, (t, i) -> {{'t': t, 'i': i - 1}}),
+                         p -> len(list_filter(rs,
+                                r -> p.i >= r.s AND p.i < r.s + r.l)) = 0),
+             p -> p.t)
+         END AS kept
+  FROM _docs LEFT JOIN _ranges ON id = cid
+)
+"""

@@ -538,3 +538,28 @@ def test_multiprobe_depth_expands_candidate_recall(spark):
         rec.append(len(got & exact) / len(exact))
     assert rec[0] <= rec[1] <= rec[2]
     assert rec[2] > rec[0]  # deeper probing must actually add recall here
+
+
+def test_cut_spans_removes_only_duplicate_occurrence(spark):
+    """Span cutting: the lower-id doc keeps the run, the higher-id doc
+    loses exactly those tokens; untouched docs pass through unchanged."""
+    run = " ".join(f"dup{i}" for i in range(22))
+    keep_front = " ".join(f"k{i}" for i in range(5))
+    lose_front = " ".join(f"l{i}" for i in range(4))
+    docs = spark.createDataFrame(
+        [
+            (0, keep_front + " " + run),
+            (1, lose_front + " " + run),
+            (2, "plain untouched doc"),
+        ],
+        "doc_id bigint, text string",
+    )
+    spans = suffix.substring_spans_exact(
+        docs, DedupConfig(), span_k=20, max_df=50
+    )
+    out = {r["id"]: r for r in suffix.cut_spans(docs, spans).collect()}
+    assert out[0]["n_cut"] == 0
+    assert out[0]["text_cut"].endswith(run)
+    assert out[1]["n_cut"] == 22
+    assert out[1]["text_cut"] == lose_front
+    assert out[2]["n_cut"] == 0 and out[2]["text_cut"] == "plain untouched doc"
