@@ -47,6 +47,12 @@ class DedupConfig:
     #                               à la Lee et al. 2021 — spans don't merge
     #                               clusters (two long docs sharing one
     #                               quote are not duplicates).
+    substring_cut: bool = False  # when True (and substring_span_k is set),
+    #                               the pipeline adds a committed
+    #                               `substring_cut` stage consuming the SAME
+    #                               span result — one gram pass feeds both
+    #                               spans and raw-byte cut docs
+    #                               (operators/suffix.py cut_spans_raw).
     # --- clustering ------------------------------------------------------
     max_cc_iterations: int = 50   # union-find safety cap (O(log n) expected)
 

@@ -935,6 +935,23 @@ def substring_cut_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "substring_cut_docs_raw",
+    suffix_op.sql_cut_spans_raw(suffix_op.sql_substring_spans(CFG, span_k=20)),
+)
+def substring_cut_docs_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAW-text span cutting (r03 verdict #1): each duplicated >= 20-token
+    run spliced out of the higher-id doc's ORIGINAL bytes — casing,
+    punctuation and whitespace outside the cut ranges are untouched, so the
+    output can substitute for the corpus as training data. The normalized-
+    token variant (`substring_cut_docs`) remains for diffing."""
+    docs = _t(spark, sf_dir, "documents")
+    spans = suffix_op.substring_spans_exact(
+        docs, CFG, span_k=20, hash_strategy="md5"
+    )
+    return suffix_op.cut_spans_raw(docs, spans)
+
+
+@register(
     "embedding_near_dup_lsh",
     """
 WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -447,13 +447,21 @@ def with_ordered_shingles(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_strategy: str = "xxhash64",
+    token_hash_col: str | None = None,
 ) -> DataFrame:
     """(id, shingles): POSITION-ORDERED shingle hashes (not the distinct
     set) — shingle i covers tokens [i, i+k-1]. Used by the span-emitting
     containment verifier (operators/suffix.py), which needs positions to
     report matched token runs à la Lee et al. 2021. Same rolling-polynomial
     identity as the payload kernel, so values are interchangeable with
-    shingle_set entries."""
+    shingle_set entries.
+
+    token_hash_col: a pre-computed ``array<bigint>`` token-hash column on
+    ``docs`` — when given, ``text_col`` is ignored and the normalize +
+    tokenize + hash expression is NOT re-evaluated. Callers that already
+    filtered on token count (operators/suffix.py substring_spans_exact)
+    pass the materialized column so the corpus is tokenized once, not
+    twice (r03 advice)."""
     import pyarrow as pa
 
     coeffs64 = shingle_coeffs64(config)
@@ -478,8 +486,13 @@ def with_ordered_shingles(
                 ["id", "shingles"],
             )
 
-    th = token_hashes(F.col(text_col), hash_strategy)
-    base = docs.select(F.col(id_col).alias("id"), th.alias("_th"))
+    if token_hash_col is not None:
+        base = docs.select(
+            F.col(id_col).alias("id"), F.col(token_hash_col).alias("_th")
+        )
+    else:
+        th = token_hashes(F.col(text_col), hash_strategy)
+        base = docs.select(F.col(id_col).alias("id"), th.alias("_th"))
     id_t = base.schema["id"].dataType.simpleString()
     return base.mapInArrow(fn, f"id {id_t}, shingles array<bigint>")
 

@@ -287,13 +287,18 @@ def substring_spans_exact(
     cfg_k = replace(config, shingle_k=span_k)
     # docs shorter than span_k tokens emit one DEGENERATE whole-text gram
     # (kernel contract) — they can never hold a >= span_k-token span, so
-    # filter them before gram generation (oracle mirrors: len(th) >= k)
-    eligible = docs.where(
-        F.size(represent.token_hashes(F.col(text_col), hash_strategy))
-        >= span_k
+    # filter them before gram generation (oracle mirrors: len(th) >= k).
+    # The token-hash column is MATERIALIZED once and fed straight into the
+    # shingle kernel — filtering on the expression and re-tokenizing inside
+    # with_ordered_shingles would run normalize+tokenize+hash twice over
+    # the corpus (r03 advice).
+    hashed = docs.select(
+        F.col(id_col).alias("id"),
+        represent.token_hashes(F.col(text_col), hash_strategy).alias("_th"),
     )
+    eligible = hashed.where(F.size("_th") >= span_k)
     sh = represent.with_ordered_shingles(
-        eligible, cfg_k, id_col, text_col, hash_strategy
+        eligible, cfg_k, id_col="id", token_hash_col="_th"
     )
     g = sh.select("id", F.posexplode("shingles").alias("pos", "g"))
     # ONE kernel + gram pass: bucket members per gram (bounded by max_df,
@@ -383,6 +388,25 @@ HAVING (count(*) + {span_k - 1}) >= {min_span}
 """
 
 
+def _span_ranges(spans: DataFrame) -> DataFrame:
+    """(_cid, _ranges): cut ranges grouped per higher-id doc, BROADCAST.
+
+    The hint is explicit for the same reason as verify.verify_pairs' semi
+    reduce (operators/verify.py): the docs side of the left join carries
+    the full text/token arrays, and a plan-chosen sort-merge join would
+    shuffle that payload on id — the single heaviest column in the corpus
+    — instead of shipping the tiny span table to it. Span-bearing docs are
+    a small fraction of the corpus by construction (they passed the span
+    pass's >= span_k verbatim-run filter), so the grouped range table is
+    broadcast-sized; workloads where it is not should pre-partition both
+    sides on id instead."""
+    return F.broadcast(
+        spans.groupBy(F.col("id2").alias("_cid")).agg(
+            F.collect_list(F.struct("start2", "span_len")).alias("_ranges")
+        )
+    )
+
+
 def cut_spans(
     docs: DataFrame,
     spans: DataFrame,
@@ -405,9 +429,7 @@ def cut_spans(
     ranges — no shuffle beyond the ranges groupBy, no Python. Docs without
     spans pass through with n_cut = 0.
     """
-    ranges = spans.groupBy(F.col("id2").alias("_cid")).agg(
-        F.collect_list(F.struct("start2", "span_len")).alias("_ranges")
-    )
+    ranges = _span_ranges(spans)
     toks = textnorm.tokens(textnorm.normalize(F.col(text_col)))
     base = docs.select(
         F.col(id_col).alias("id"), toks.alias("_toks")
@@ -460,4 +482,136 @@ FROM (
          END AS kept
   FROM _docs LEFT JOIN _ranges ON id = cid
 )
+"""
+
+
+#: maximal alphanumeric runs — the RAW-text rendering of textnorm.tokens:
+#: normalize() lowercases then maps [^\p{L}\p{N}]+ to spaces, so every
+#: normalized token is a maximal [\p{L}\p{N}]+ run of the lowercased text,
+#: and (case-exotic Unicode aside — see cut_spans_raw's `aligned`) the SAME
+#: run of the ORIGINAL text. Identical semantics in Java regex and RE2.
+_RAW_TOKEN_PAT = r"[\p{L}\p{N}]+"
+
+
+def cut_spans_raw(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_tokens, n_cut, aligned, text_cut): the corpus with duplicated
+    spans cut out of the ORIGINAL text — bytes outside the cut ranges are
+    untouched (casing, punctuation, whitespace all survive). This is the
+    output a training-data pipeline actually substitutes for the corpus
+    (Lee et al. 2021 cut raw text; the engine's own byte-identical
+    extraction gate exists because byte fidelity matters — r03 verdict #1).
+
+    Mechanics: spans are token ranges over the NORMALIZED tokenization, so
+    the raw text is decomposed into the same coordinate system without a
+    second kernel pass:  text = sep[0] + tok[0] + sep[1] + … + tok[n-1]
+    + sep[n], where tok[i] = i-th maximal [\\p{L}\\p{N}]+ run (byte-exact,
+    original case) and sep[i] = the separator bytes around it (split on
+    the same pattern keeps leading/trailing empties, so the decomposition
+    reconstructs the input exactly — property-tested). Cutting range
+    [s, s+len) splices out tok[s]..sep[s+1]..tok[s+len-1]+sep[s+len]; the
+    separator BEFORE the range stays, so surrounding text keeps its
+    original spacing.
+
+    ``aligned``: raw runs map 1:1 onto normalized tokens unless
+    lowercasing changes a character's alphanumeric category or length
+    (e.g. U+0130 İ → i + combining dot) — then counts diverge and token
+    indices would mis-splice. Misaligned docs pass through UNCUT
+    (n_cut = 0, aligned = false) rather than corrupting bytes; the oracle
+    applies the same rule.
+
+    All-expression (one regexp pass for runs, one for separators, one
+    indexed filter over the zipped pieces); ranges broadcast per
+    :func:`_span_ranges`. Docs without spans return their text verbatim.
+    """
+    ranges = _span_ranges(spans)
+    text = F.col(text_col)
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        text.alias("_text"),
+        F.regexp_extract_all(text, F.lit(_RAW_TOKEN_PAT), 0).alias("_rt"),
+        F.split(text, _RAW_TOKEN_PAT).alias("_seps"),
+        F.size(textnorm.tokens(textnorm.normalize(text))).alias("_nt"),
+    ).join(ranges, F.col("id") == F.col("_cid"), "left")
+    aligned = F.size("_rt") == F.col("_nt")
+    # piece i = tok[i] + sep[i+1]; seps has size(_rt)+1 entries by the split
+    # contract, so the slice is always in range
+    pieces = F.zip_with(
+        F.col("_rt"),
+        F.slice(F.col("_seps"), 2, F.size("_rt")),
+        lambda t, s: F.concat(t, s),
+    )
+    kept = F.filter(
+        pieces,
+        lambda p, i: ~F.exists(
+            F.col("_ranges"),
+            lambda r: (i >= r["start2"]) & (i < r["start2"] + r["span_len"]),
+        ),
+    )
+    do_cut = F.col("_ranges").isNotNull() & aligned
+    spliced = F.concat(F.element_at("_seps", 1), F.array_join(kept, ""))
+    return base.select(
+        "id",
+        F.col("_nt").cast("int").alias("n_tokens"),
+        F.when(do_cut, F.size("_rt") - F.size(kept))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("n_cut"),
+        aligned.alias("aligned"),
+        F.when(do_cut, spliced).otherwise(F.col("_text")).alias("text_cut"),
+    )
+
+
+def sql_cut_spans_raw(
+    spans_select: str,
+    doc_table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB SELECT matching :func:`cut_spans_raw` byte-for-byte.
+
+    Same decomposition: regexp_extract_all for the runs,
+    string_split_regex for the separators (both keep leading/trailing
+    empties, verified identical to Spark's split), indexed list_filter
+    against the grouped ranges. array_to_string of an empty list is NULL
+    in DuckDB (vs '' in Spark) — coalesced."""
+    ntoks = textnorm.sql_tokens(textnorm.sql_normalize(text_col))
+    pat = "[\\p{L}\\p{N}]+"
+    return f"""
+WITH _spans AS ({spans_select}),
+_ranges AS (
+  SELECT id2 AS cid, list({{'s': start2, 'l': span_len}}) AS rs
+  FROM _spans GROUP BY id2
+),
+_docs AS (
+  SELECT {id_col} AS id, {text_col} AS txt,
+         regexp_extract_all({text_col}, '{pat}') AS rt,
+         string_split_regex({text_col}, '{pat}') AS seps,
+         len({ntoks})::INT AS nt
+  FROM {doc_table}
+),
+_cut AS (
+  SELECT id, txt, nt, rs,
+         (len(rt)::INT = nt) AS aligned,
+         len(rt)::INT AS n_rt,
+         seps[1] AS sep0,
+         list_transform(
+           list_filter(
+             list_transform(rt, (t, i) -> {{'p': t || seps[i + 1], 'i': i - 1}}),
+             p -> len(list_filter(rs, r -> p.i >= r.s AND p.i < r.s + r.l)) = 0),
+           p -> p.p) AS kept
+  FROM _docs LEFT JOIN _ranges ON id = cid
+)
+SELECT id, nt AS n_tokens,
+       (CASE WHEN rs IS NOT NULL AND aligned
+             THEN n_rt - len(kept) ELSE 0 END)::INT AS n_cut,
+       aligned,
+       CASE WHEN rs IS NOT NULL AND aligned
+            THEN coalesce(sep0, '') || coalesce(array_to_string(kept, ''), '')
+            ELSE txt END AS text_cut
+FROM _cut
 """

@@ -45,6 +45,12 @@ class PipelineResult:
     # 2021); only when config.substring_span_k is set, else None. Spans do
     # NOT feed the edge set — sharing one quote doesn't merge two docs.
     spans: DataFrame | None = None
+    # the corpus with duplicated spans spliced out of the ORIGINAL bytes
+    # (id, n_tokens, n_cut, aligned, text_cut) — only when
+    # config.substring_cut is also set. Consumes the committed `spans`
+    # stage above, so the gram pass runs ONCE per pipeline invocation
+    # (r03 verdict #8).
+    cut_docs: DataFrame | None = None
 
 
 def run_pipeline(
@@ -168,6 +174,7 @@ def run_pipeline(
     assignments = com.stage("assignments", build_assignments)
 
     spans = None
+    cut_docs = None
     if config.substring_span_k is not None:
         spans = com.stage(
             "substring_spans",
@@ -180,7 +187,15 @@ def run_pipeline(
                 hash_strategy=hash_strategy,
             ),
         )
+        if config.substring_cut:
+            # consumes the committed spans stage — the gram pass above is
+            # NOT recomputed (committer caches/commits its output)
+            cut_docs = com.stage(
+                "substring_cut",
+                lambda: suffix.cut_spans_raw(docs, spans, id_col, text_col),
+            )
 
     return PipelineResult(
-        payload, candidates, verified, edges, assignments, com, spans
+        payload, candidates, verified, edges, assignments, com, spans,
+        cut_docs,
     )

@@ -64,6 +64,10 @@ def main() -> None:
                          "span cutting) and write spans to --spans-output")
     ap.add_argument("--spans-output", default=None,
                     help="sink for the span pass (requires --span-k)")
+    ap.add_argument("--cut-output", default=None,
+                    help="sink for the RAW-byte span-cut corpus (id, "
+                         "n_tokens, n_cut, aligned, text_cut); requires "
+                         "--span-k. One gram pass feeds both spans and cut.")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -79,7 +83,13 @@ def main() -> None:
     if args.span_k:
         from dataclasses import replace
 
-        config = replace(config, substring_span_k=args.span_k)
+        config = replace(
+            config,
+            substring_span_k=args.span_k,
+            substring_cut=bool(args.cut_output),
+        )
+    elif args.cut_output:
+        ap.error("--cut-output requires --span-k")
 
     if args.streaming_source:
         if not args.workdir:
@@ -126,6 +136,8 @@ def main() -> None:
     tables.write_table(res.assignments, args.output, args.table_format)
     if res.spans is not None and args.spans_output:
         tables.write_table(res.spans, args.spans_output, args.table_format)
+    if res.cut_docs is not None and args.cut_output:
+        tables.write_table(res.cut_docs, args.cut_output, args.table_format)
     n = res.assignments.count()
     n_clusters = res.assignments.select("cluster_id").distinct().count()
     wall = time.monotonic() - t0

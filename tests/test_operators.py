@@ -563,3 +563,61 @@ def test_cut_spans_removes_only_duplicate_occurrence(spark):
     assert out[1]["n_cut"] == 22
     assert out[1]["text_cut"] == lose_front
     assert out[2]["n_cut"] == 0 and out[2]["text_cut"] == "plain untouched doc"
+
+
+def test_cut_spans_raw_preserves_original_bytes(spark):
+    """r03 verdict #1: raw cutting must splice the ORIGINAL text — casing,
+    punctuation and whitespace outside the cut range survive byte-exact,
+    and uncut docs come back verbatim."""
+    run = " ".join(f"dup{i}" for i in range(22))
+    doc0 = "K0 k1 k2 k3 k4 " + run
+    doc1 = (
+        "Hey! L0, l1 (l2) l3... Dup0, "
+        + " ".join(f"dup{i}" for i in range(1, 22))
+        + " THE-End."
+    )
+    docs = spark.createDataFrame(
+        [(0, doc0), (1, doc1), (2, "?!;; punct,Only: stays")],
+        "doc_id bigint, text string",
+    )
+    spans = suffix.substring_spans_exact(
+        docs, DedupConfig(), span_k=20, max_df=50
+    )
+    out = {r["id"]: r for r in suffix.cut_spans_raw(docs, spans).collect()}
+    # keeper and untouched docs: byte-identical passthrough
+    assert out[0]["n_cut"] == 0 and out[0]["text_cut"] == doc0
+    assert out[2]["n_cut"] == 0 and out[2]["text_cut"] == "?!;; punct,Only: stays"
+    # loser: tokens 5..26 spliced out of the RAW text; the separator before
+    # the cut stays, the cut run's trailing separator goes with it
+    assert out[1]["n_cut"] == 22 and out[1]["aligned"]
+    assert out[1]["text_cut"] == "Hey! L0, l1 (l2) l3... THE-End."
+    assert out[1]["n_tokens"] == 29
+
+
+def test_cut_spans_raw_misaligned_doc_passes_through_uncut(spark):
+    """When lowercasing breaks the raw-run ↔ normalized-token bijection
+    (U+0130 İ lowers to i + combining dot, splitting one raw run into two
+    normalized tokens), the doc must pass through UNCUT with aligned=false
+    instead of mis-splicing bytes."""
+    run = " ".join(f"dup{i}" for i in range(22))
+    doc0 = "base text here " + run
+    doc1 = "İx " + run  # İx: 1 raw run, 2 normalized tokens
+    docs = spark.createDataFrame(
+        [(0, doc0), (1, doc1)], "doc_id bigint, text string"
+    )
+    from entity_deduplication_hack_main_spark.functions import textnorm
+
+    n_norm = docs.where(F.col("doc_id") == 1).select(
+        F.size(textnorm.tokens(textnorm.normalize(F.col("text")))).alias("n")
+    ).collect()[0]["n"]
+    if n_norm != 24:  # JVM locale table didn't split İ — guard untestable
+        import pytest
+
+        pytest.skip("this JVM lowers U+0130 without the combining dot")
+    spans = suffix.substring_spans_exact(
+        docs, DedupConfig(), span_k=20, max_df=50
+    )
+    assert spans.count() == 1  # the run IS detected
+    out = {r["id"]: r for r in suffix.cut_spans_raw(docs, spans).collect()}
+    assert not out[1]["aligned"]
+    assert out[1]["n_cut"] == 0 and out[1]["text_cut"] == doc1

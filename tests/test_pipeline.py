@@ -161,4 +161,36 @@ def test_pipeline_spans_none_when_disabled(spark):
     docs = spark.createDataFrame(
         [(0, "one doc only here")], "doc_id bigint, text string"
     )
-    assert run_pipeline(spark, docs, DedupConfig()).spans is None
+    res = run_pipeline(spark, docs, DedupConfig())
+    assert res.spans is None and res.cut_docs is None
+
+
+def test_pipeline_cut_stage_committed_and_resumable(spark, tmp_path):
+    """r03 verdict #8: with substring_cut on, ONE pipeline invocation
+    yields both spans and RAW-byte cut docs from a single gram pass, the
+    stage is committed, and a re-run with the same workdir resumes it."""
+    from dataclasses import replace
+
+    run = " ".join(f"quoted{i}" for i in range(25))
+    filler_a = " ".join(f"alpha{i}" for i in range(80))
+    filler_b = " ".join(f"beta{i}" for i in range(80))
+    doc1_text = "Intro! " + run + " " + filler_b
+    docs = spark.createDataFrame(
+        [(0, filler_a + " " + run), (1, doc1_text)],
+        "doc_id bigint, text string",
+    )
+    cfg = replace(DedupConfig(), substring_span_k=20, substring_cut=True)
+    wd = str(tmp_path / "wd")
+    r1 = run_pipeline(spark, docs, cfg, workdir=wd, run_id="a")
+    cut = {r["id"]: r for r in r1.cut_docs.collect()}
+    # higher-id doc loses the quoted run from its ORIGINAL bytes
+    assert cut[1]["n_cut"] == 25 and cut[1]["aligned"]
+    assert cut[1]["text_cut"] == "Intro! " + filler_b
+    assert cut[0]["n_cut"] == 0
+    stage_names = [e["stage"] for e in r1.committer.events]
+    assert "substring_spans" in stage_names and "substring_cut" in stage_names
+    r2 = run_pipeline(spark, docs, cfg, workdir=wd, run_id="b")
+    assert all(e["resumed"] for e in r2.committer.events)
+    assert {r["id"]: r["text_cut"] for r in r2.cut_docs.collect()} == {
+        i: r["text_cut"] for i, r in cut.items()
+    }
