@@ -85,20 +85,23 @@ def run_pipeline_bench(
     ).select("doc_id", "text")
 
     legs, loadavgs, n_clusters = [], [], 0
+    warmup_loadavg = None
     total_legs = reps + 1 if reps > 1 else 1
     docs = None
     for leg in range(total_legs):
         spark.catalog.clearCache()  # no cross-leg stage-cache substitution
         docs = docs_src.cache()
         docs.count()  # corpus generation excluded from dedup timing
-        loadavgs.append(round(os.getloadavg()[0], 2))
+        la = round(os.getloadavg()[0], 2)
         t0 = time.monotonic()
         res = run_pipeline(spark, docs, DedupConfig())
         n_clusters = res.assignments.select("cluster_id").distinct().count()
         wall = time.monotonic() - t0
         if reps > 1 and leg == 0:
-            continue  # discarded warm-up leg
+            warmup_loadavg = la  # discarded warm-up leg, tagged separately
+            continue  # so loadavg_per_leg[i] pairs with legs_sec[i]
         legs.append(round(wall, 3))
+        loadavgs.append(la)
     docs.unpersist()
     wall = statistics.median(legs)
     return {
@@ -108,27 +111,34 @@ def run_pipeline_bench(
         "n_clusters": n_clusters,
         "legs_sec": legs,
         "loadavg_per_leg": loadavgs,
+        "warmup_loadavg": warmup_loadavg,
         "warmup_discarded": reps > 1,
     }
 
 
-def run_queries(spark, sf_dir: str, reps: int = 3) -> dict[str, float]:
-    """Median-of-``reps`` wall time per query (host-contention variance on
-    this sandbox is real — BENCH.md — so single-shot legs are noisy)."""
+def run_queries(
+    spark, sf_dir: str, reps: int = 3
+) -> tuple[dict[str, float], dict[str, float]]:
+    """(median wall per query, loadavg at each query's start) — medians
+    because host-contention variance on this sandbox is real (BENCH.md),
+    per-query loadavg so a reader can adjudicate contention vs regression
+    per QUERY, not just per run (r03 verdict #2: the +85%
+    lsh_dedup_clusters outlier was indistinguishable from late-run load)."""
     import statistics
 
     from entity_deduplication_hack_main_spark import entry_queries
 
     qs = entry_queries.queries()
-    out = {}
+    out, load = {}, {}
     for name in BENCH_QUERIES:
+        load[name] = round(os.getloadavg()[0], 2)
         legs = []
         for _ in range(reps):
             t0 = time.monotonic()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             legs.append(time.monotonic() - t0)
         out[name] = round(statistics.median(legs), 3)
-    return out
+    return out, load
 
 
 def main() -> None:
@@ -220,7 +230,7 @@ def main() -> None:
         return
 
     spark = _spark(cpus)
-    queries = run_queries(spark, sf_dir, reps=args.reps)
+    queries, query_loadavg = run_queries(spark, sf_dir, reps=args.reps)
     pipe = run_pipeline_bench(spark, n_docs=5000, reps=args.reps)
     queries["dedup_pipeline_5k"] = pipe["wall_sec"]
     total = round(sum(queries.values()), 3)
@@ -232,10 +242,12 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": queries,
+                "query_loadavg": query_loadavg,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "docs_per_sec": pipe["docs_per_sec"],
                 "pipeline_legs_sec": pipe["legs_sec"],
                 "pipeline_loadavg_per_leg": pipe["loadavg_per_leg"],
+                "pipeline_warmup_loadavg": pipe["warmup_loadavg"],
                 "cpus": cpus,
                 "reps": args.reps,
                 "loadavg": [round(x, 2) for x in os.getloadavg()],

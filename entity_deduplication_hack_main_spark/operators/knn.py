@@ -78,15 +78,22 @@ def brute_force_knn_matmul(
     Probes are collected once (must be small — the same constraint as the
     broadcast in :func:`brute_force_knn`), normalized into a (P, d) matrix
     captured by a mapInPandas closure; each corpus Arrow batch contributes
-    its local top-(k+8) CANDIDATES per probe (ids + their vectors ride
-    along — no second corpus scan), then the tiny candidate set is
-    re-scored with the same sequential-fold cosine expression
-    :func:`brute_force_knn` uses and ranked. The matmul does the O(N*P*d)
-    work; the fold touches only O(P*(k+8)*batches) rows — so the output is
-    bit-identical to the expression path (and its SQL oracle) while keeping
-    matmul throughput. The +8 headroom absorbs matmul-vs-fold float-order
-    rank flips at the k boundary (would need >8 near-exact ties inside one
-    Arrow batch to miss — degenerate-duplicate territory).
+    its per-probe CANDIDATES (ids + their vectors ride along — no second
+    corpus scan), then the tiny candidate set is re-scored with the same
+    sequential-fold cosine expression :func:`brute_force_knn` uses and
+    ranked. The matmul does the O(N*P*d) work; the fold touches only the
+    candidate rows — so the output is bit-identical to the expression path
+    (and its SQL oracle) while keeping matmul throughput.
+
+    Candidate rule (r03 advice — a fixed top-(k+8) slice broke when more
+    than ~13 vectors tied at the k-th cosine boundary in one batch, since
+    argpartition picks an arbitrary tie subset and the oracle's
+    neighbor_id tie-break needs the SMALLEST ids): per probe, take every
+    batch row with sim >= (k+1)-th largest − 2e-6. The (k+1)-th guards the
+    slot a self-match may occupy; the 2e-6 margin covers both the ~1e-13
+    matmul-vs-fold float-order error and the 1e-6 output rounding, so any
+    row that could ROUND equal to the boundary survives to the exact
+    re-score — ties of ANY multiplicity included, no headroom constant.
     """
     import pandas as pd
     from collections.abc import Iterator
@@ -95,7 +102,7 @@ def brute_force_knn_matmul(
     probe_ids = np.array([r[0] for r in rows], dtype=np.int64)
     pm = np.array([r[1] for r in rows], dtype=np.float64)
     pm /= np.maximum(np.linalg.norm(pm, axis=1, keepdims=True), 1e-300)
-    k_local = k + 8  # self-match + float-order headroom
+    tie_tol = 2.0 * 10.0 ** (-score_round)  # > rounding half-ulp + fp error
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -104,14 +111,14 @@ def brute_force_knn_matmul(
             cm = np.array(vecs, dtype=np.float64)
             cm /= np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-300)
             sims = cm @ pm.T  # (batch, P)
-            kk = min(k_local, sims.shape[0])
-            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, P)
-            flat = top.T.reshape(-1)
+            kth = min(k + 1, sims.shape[0])  # +1: one possible self-match
+            thr = -np.partition(-sims, kth - 1, axis=0)[kth - 1]  # (P,)
+            pi, ri = np.nonzero(sims.T >= (thr - tie_tol)[:, None])
             yield pd.DataFrame(
                 {
-                    "probe_id": np.repeat(probe_ids, kk),
-                    "neighbor_id": ids[flat],
-                    "cv": [vecs[t] for t in flat],
+                    "probe_id": probe_ids[pi],
+                    "neighbor_id": ids[ri],
+                    "cv": [vecs[t] for t in ri],
                 }
             )
 

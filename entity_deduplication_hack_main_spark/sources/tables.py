@@ -122,6 +122,11 @@ def write_table(
 
 
 def read_table(spark: SparkSession, target: str, fmt: str | None = None) -> DataFrame:
+    """Raw table read. NOTE (format asymmetry): a corpus written by
+    :func:`write_corpus` in parquet mode carries the derived ``warc_day``
+    partition column in its schema, while the iceberg path keeps the
+    original schema (the ``days()`` transform lives in table metadata).
+    Use :func:`read_corpus` for a format-independent corpus schema."""
     fmt = table_format(fmt)
     if fmt == "iceberg":
         try:
@@ -129,3 +134,42 @@ def read_table(spark: SparkSession, target: str, fmt: str | None = None) -> Data
         except Exception as exc:
             raise _iceberg_guard(exc, target) from exc
     return spark.read.parquet(target)
+
+
+def read_corpus(
+    spark: SparkSession,
+    target: str,
+    fmt: str | None = None,
+    day_range: "tuple[str, str] | None" = None,
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """Corpus read with the SAME logical schema in both formats (r03
+    advice: parquet bakes the derived ``warc_day`` into the data while
+    iceberg keeps it in metadata — downstream readers saw format-dependent
+    schemas for one logical table).
+
+    day_range: optional ('YYYY-MM-DD', 'YYYY-MM-DD') inclusive crawl-day
+    window. In parquet mode it filters the ``warc_day`` PARTITION column
+    (directory pruning) before the column is dropped; in iceberg mode the
+    equivalent ``ts_col`` date filter prunes via the table's ``days()``
+    transform metadata. Either way the returned schema is the one
+    :func:`write_corpus` was handed."""
+    fmt = table_format(fmt)
+    df = read_table(spark, target, fmt)
+    if fmt == "iceberg":
+        if day_range is not None:
+            df = df.where(
+                F.to_date(ts_col).between(
+                    F.lit(day_range[0]).cast("date"),
+                    F.lit(day_range[1]).cast("date"),
+                )
+            )
+        return df
+    if day_range is not None:
+        df = df.where(
+            F.col("warc_day").between(
+                F.lit(day_range[0]).cast("date"),
+                F.lit(day_range[1]).cast("date"),
+            )
+        )
+    return df.drop("warc_day")

@@ -18,14 +18,15 @@ Per micro-batch (`foreachBatch`), with `near_dup=True` (default):
    committed band index (bounded: bands×docs rows, no signatures re-read);
    candidates are scored by MinHash signature agreement (the unbiased
    Jaccard estimate; the committed shingle sets are not retained).
-   Clear-cut candidates (|estimate − threshold| > `EST_MARGIN`) are decided
+   Clear-cut candidates (|estimate − threshold| > the ±2.5σ band of
+   :func:`est_margin`) are decided
    by the estimate alone; *borderline* candidates — where the 128-perm
    estimator's σ ≈ 0.04 could flip the keep/drop decision vs the batch
    pipeline's exact-Jaccard rule — are re-verified exactly: the few
    committed docs involved are fetched from the deduped output table,
    re-shingled, and compared by true Jaccard. Batch and streaming now
    agree on every pair except the (exponentially rare) ones whose estimate
-   errs by more than EST_MARGIN;
+   errs by more than the margin;
 4. survivors append to the output plus two index tables — `_index`
    (id, fp, signature) and `_band_index` (id, band_id, band_hash).
 
@@ -69,10 +70,18 @@ from entity_deduplication_hack_main_spark.operators import verify as verify_op
 from entity_deduplication_hack_main_spark.plans import fsutil
 
 
-#: half-width of the estimate band that triggers exact re-verification.
-#: At 128 perms the agreement estimator's std-dev near J=0.7 is
-#: sqrt(J(1-J)/128) ≈ 0.04, so ±0.1 is ±2.5σ — P(estimate off by more) < 1%.
-EST_MARGIN = 0.1
+def est_margin(config: DedupConfig) -> float:
+    """Half-width of the estimate band that triggers exact re-verification:
+    ±2.5σ of the num_perms-sample agreement estimator at J = threshold,
+    2.5·sqrt(t(1−t)/num_perms). At the production config (t=0.7, 128
+    perms) this is ≈ 0.10 — the value that used to be hardcoded; at the
+    32-perm test config σ more than doubles, so a fixed 0.1 would have
+    been only ±1.25σ and batch/streaming borderline disagreement far more
+    likely than the documented <1% tail (r03 advice)."""
+    import math
+
+    t = float(config.jaccard_similar)
+    return 2.5 * math.sqrt(t * (1.0 - t) / config.num_perms)
 
 
 class StreamingDedup:
@@ -212,12 +221,13 @@ class StreamingDedup:
             .join(old_sigs, "old_id")
             .withColumn("_est", agree)
         )
+        m = est_margin(cfg)
         sure_drop = scored.where(
-            F.col("_est") >= F.lit(t + EST_MARGIN)
+            F.col("_est") >= F.lit(t + m)
         ).select("id")
         borderline = scored.where(
-            (F.col("_est") < F.lit(t + EST_MARGIN))
-            & (F.col("_est") >= F.lit(t - EST_MARGIN))
+            (F.col("_est") < F.lit(t + m))
+            & (F.col("_est") >= F.lit(t - m))
         ).select("id", "old_id", "shingle_set")
         borderline_drop = self._exact_reverify(borderline, batch_id, id_type)
         corpus_drop = sure_drop.unionByName(borderline_drop).distinct()
@@ -255,8 +265,8 @@ class StreamingDedup:
         by exact Jaccard: fetch the committed partner docs from the deduped
         output table, re-shingle their text, intersect/union shingle sets.
 
-        Bounded: only pairs with |estimate - threshold| <= EST_MARGIN reach
-        this — at 128 perms that is the ±2.5σ band, a few % of candidates —
+        Bounded: only pairs with |estimate - threshold| <= est_margin(config)
+        reach this — the ±2.5σ band at any num_perms, a few % of candidates —
         and only distinct old_ids are fetched (left-semi on the committed
         table, pushed down to the parquet scan).
         """

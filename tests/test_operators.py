@@ -540,6 +540,36 @@ def test_multiprobe_depth_expands_candidate_recall(spark):
     assert rec[2] > rec[0]  # deeper probing must actually add recall here
 
 
+def test_knn_matmul_survives_mass_ties_at_k_boundary(spark):
+    """r03 advice: with 30 identical vectors every rank ties at cosine 1.0
+    inside ONE Arrow batch — a fixed top-(k+8) slice would pick an
+    arbitrary 13-row subset and could exclude the smallest neighbor_ids
+    the oracle tie-break requires. The threshold-with-ties candidate rule
+    must keep all of them."""
+    import numpy as np  # noqa: F401 (parity with sibling tests)
+
+    base = [1.0, 0.0, 0.0, 0.0]
+    other = [0.0, 1.0, 0.0, 0.0]
+    rows = [(i, base) for i in range(30)] + [(100 + i, other) for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    ).coalesce(1)
+    probes = df.where(F.col("vec_id") == 0)
+    exact = knn.brute_force_knn(probes, df, k=5).collect()
+    fast = knn.brute_force_knn_matmul(probes, df, k=5).collect()
+
+    def key(rs):
+        return [
+            (r["probe_id"], r["neighbor_id"], r["cosine"], r["rank"])
+            for r in sorted(rs, key=lambda x: x["rank"])
+        ]
+
+    assert key(fast) == key(exact)
+    # the deterministic tie-break: smallest ids win
+    assert [r["neighbor_id"] for r in sorted(fast, key=lambda x: x["rank"])] \
+        == [1, 2, 3, 4, 5]
+
+
 def test_cut_spans_removes_only_duplicate_occurrence(spark):
     """Span cutting: the lower-id doc keeps the run, the higher-id doc
     loses exactly those tokens; untouched docs pass through unchanged."""

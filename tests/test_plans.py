@@ -125,6 +125,21 @@ def test_table_format_abstraction_parquet_roundtrip(spark, tmp_path):
     import os
 
     assert any(d.startswith("warc_day=") for d in os.listdir(out))
+    # r03 advice: read_corpus round-trips the ORIGINAL schema (no derived
+    # warc_day) so parquet and iceberg readers see one logical table...
+    rt = tables.read_corpus(spark, out, fmt="parquet")
+    assert sorted(rt.columns) == sorted(docs.columns)
+    assert rt.count() == 2
+    # ...and a day_range window still prunes on the partition column
+    # BEFORE the drop
+    pruned = tables.read_corpus(
+        spark, out, fmt="parquet", day_range=("2024-01-02", "2024-01-02")
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "warc_day" in plan.split(
+        "PartitionFilters"
+    )[1][:200]
+    assert [r["doc_id"] for r in pruned.collect()] == [2]
 
 
 def test_table_format_env_resolution(monkeypatch):
