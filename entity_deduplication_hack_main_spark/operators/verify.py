@@ -105,6 +105,86 @@ def duplicate_edges(verified: DataFrame) -> DataFrame:
     return verified.where(F.col("status") == "pass").select("id1", "id2")
 
 
+def verify_pairs_full(
+    pairs: DataFrame,
+    payload: DataFrame,
+    config: DedupConfig,
+) -> DataFrame:
+    """(id1, id2, jaccard, dup_type, status, hamming, containment): the
+    full measure set for the three-channel edge rule — exact Jaccard +
+    taxonomy + SimHash Hamming distance + containment, all from ONE
+    payload projection joined twice (a previous pipeline version joined
+    the payload six times = four extra ~600 MB array shuffles at 100k
+    heavy docs; this halved pipeline wall time).
+
+    payload: (id, shingle_set, fp, simhash). Semi-join reduction first:
+    only candidate-pair members ship their shingle sets. The broadcast
+    hint is load-bearing — see :func:`verify_pairs` (plan-chosen SMJ here
+    doubles payload shuffles instead of eliminating them). Shared by the
+    batch pipeline and the streaming in-batch channel so both apply
+    IDENTICAL semantics (r03 verdict #3)."""
+    ids = (
+        pairs.select(F.col("id1").alias("id"))
+        .unionByName(pairs.select(F.col("id2").alias("id")))
+        .distinct()
+    )
+    p = payload.select("id", "shingle_set", "fp", "simhash").join(
+        F.broadcast(ids), "id", "left_semi"
+    )
+    a = p.select(
+        F.col("id").alias("id1"),
+        F.col("shingle_set").alias("s1"),
+        F.col("fp").alias("fp1"),
+        F.col("simhash").alias("sh1"),
+    )
+    b = p.select(
+        F.col("id").alias("id2"),
+        F.col("shingle_set").alias("s2"),
+        F.col("fp").alias("fp2"),
+        F.col("simhash").alias("sh2"),
+    )
+    j = pairs.select("id1", "id2").join(a, "id1").join(b, "id2")
+    inter = F.size(F.array_intersect("s1", "s2"))
+    union = F.size(F.array_union("s1", "s2"))
+    smaller = F.least(F.size("s1"), F.size("s2"))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return j.select(
+        "id1",
+        "id2",
+        F.round(jac, 9).alias("jaccard"),
+        F.when(F.col("fp1") == F.col("fp2"), "exact")
+        .when(jac >= config.jaccard_near_exact, "near_exact")
+        .when(jac >= config.jaccard_similar, "similar")
+        .otherwise("conflict")
+        .alias("dup_type"),
+        F.when(jac >= config.jaccard_candidate, "pass")
+        .otherwise("fail")
+        .alias("status"),
+        F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2"))).alias("hamming"),
+        F.round(
+            F.when(smaller > 0, inter / smaller).otherwise(0.0), 9
+        ).alias("containment"),
+    )
+
+
+def duplicate_edges_full(
+    verified: DataFrame,
+    config: DedupConfig,
+    containment_threshold: float = 0.9,
+) -> DataFrame:
+    """The three-channel edge rule over :func:`verify_pairs_full` output:
+    Jaccard pass OR Hamming <= radius OR containment >= threshold."""
+    return (
+        verified.where(
+            (F.col("status") == "pass")
+            | (F.col("hamming") <= config.hamming_radius)
+            | (F.col("containment") >= containment_threshold)
+        )
+        .select("id1", "id2")
+        .distinct()
+    )
+
+
 # --- DuckDB oracle -------------------------------------------------------
 
 

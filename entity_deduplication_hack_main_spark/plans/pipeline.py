@@ -63,7 +63,16 @@ def run_pipeline(
     workdir: str | None = None,
     run_id: str = "run",
     containment_threshold: float = 0.9,
+    model: dict | None = None,
+    model_min_score: float = 0.5,
 ) -> PipelineResult:
+    """model: optional learned pair classifier (operators/learned.py
+    fit_pair_classifier output). When given, the Jaccard leg of the edge
+    rule is the LEARNED pass predicate (score >= model_min_score over the
+    verified measures — jaccard/hamming/containment are all available as
+    features) instead of the fixed threshold; the Hamming and containment
+    legs stay. model_min_score typically comes from
+    learned.pick_threshold_for_precision (r02 verdict #10)."""
     config = config or DedupConfig()
     com = StageCommitter(spark, workdir, run_id)
     nbits = 64 if hash_strategy == "xxhash64" else 60
@@ -99,69 +108,22 @@ def run_pipeline(
     candidates = com.stage("candidates", build_candidates)
 
     def build_verified() -> DataFrame:
-        # ONE payload projection joined twice — jaccard, taxonomy, hamming
-        # and containment all come from the same two shuffles. (A previous
-        # version joined the payload six times = four extra ~600 MB array
-        # shuffles at 100k heavy docs; this halved pipeline wall time.)
-        # Semi-join reduction first: only candidate-pair members ship their
-        # shingle sets. The broadcast hint is load-bearing — see
-        # verify.verify_pairs (plan-chosen SMJ here doubles payload
-        # shuffles instead of eliminating them).
-        ids = (
-            candidates.select(F.col("id1").alias("id"))
-            .unionByName(candidates.select(F.col("id2").alias("id")))
-            .distinct()
-        )
-        p = payload.select("id", "shingle_set", "fp", "simhash").join(
-            F.broadcast(ids), "id", "left_semi"
-        )
-        a = p.select(
-            F.col("id").alias("id1"),
-            F.col("shingle_set").alias("s1"),
-            F.col("fp").alias("fp1"),
-            F.col("simhash").alias("sh1"),
-        )
-        b = p.select(
-            F.col("id").alias("id2"),
-            F.col("shingle_set").alias("s2"),
-            F.col("fp").alias("fp2"),
-            F.col("simhash").alias("sh2"),
-        )
-        j = candidates.select("id1", "id2").join(a, "id1").join(b, "id2")
-        inter = F.size(F.array_intersect("s1", "s2"))
-        union = F.size(F.array_union("s1", "s2"))
-        smaller = F.least(F.size("s1"), F.size("s2"))
-        jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
-        return j.select(
-            "id1",
-            "id2",
-            F.round(jac, 9).alias("jaccard"),
-            F.when(F.col("fp1") == F.col("fp2"), "exact")
-            .when(jac >= config.jaccard_near_exact, "near_exact")
-            .when(jac >= config.jaccard_similar, "similar")
-            .otherwise("conflict")
-            .alias("dup_type"),
-            F.when(jac >= config.jaccard_candidate, "pass")
-            .otherwise("fail")
-            .alias("status"),
-            F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2"))).alias("hamming"),
-            F.round(
-                F.when(smaller > 0, inter / smaller).otherwise(0.0), 9
-            ).alias("containment"),
-        )
+        # full measure set from ONE payload projection joined twice —
+        # shared with the streaming in-batch channel (verify_pairs_full
+        # carries the shuffle-count rationale)
+        return verify.verify_pairs_full(candidates, payload, config)
 
     verified = com.stage("verified", build_verified)
 
     def build_edges() -> DataFrame:
-        return (
-            verified.where(
-                (F.col("status") == "pass")
-                | (F.col("hamming") <= config.hamming_radius)
-                | (F.col("containment") >= containment_threshold)
+        v = verified
+        if model is not None:
+            from entity_deduplication_hack_main_spark.operators import learned
+
+            v = learned.verify_with_learned_threshold(
+                v, model, model_min_score
             )
-            .select("id1", "id2")
-            .distinct()
-        )
+        return verify.duplicate_edges_full(v, config, containment_threshold)
 
     edges = com.stage("edges", build_edges)
 

@@ -11,24 +11,41 @@ Per micro-batch (`foreachBatch`), with `near_dup=True` (default):
 
 1. exact channel — normalized-text fingerprint; first-per-fp within the
    batch, then anti-join against the committed fingerprint index;
-2. MinHash channel *within* the batch — representation kernel → LSH bands →
-   salted candidate pairs → exact-Jaccard verify → connected components;
-   only each component's min-id representative survives;
-3. MinHash channel *against the corpus* — the batch's band hashes join the
-   committed band index (bounded: bands×docs rows, no signatures re-read);
-   candidates are scored by MinHash signature agreement (the unbiased
-   Jaccard estimate; the committed shingle sets are not retained).
-   Clear-cut candidates (|estimate − threshold| > the ±2.5σ band of
-   :func:`est_margin`) are decided
-   by the estimate alone; *borderline* candidates — where the 128-perm
-   estimator's σ ≈ 0.04 could flip the keep/drop decision vs the batch
-   pipeline's exact-Jaccard rule — are re-verified exactly: the few
-   committed docs involved are fetched from the deduped output table,
-   re-shingled, and compared by true Jaccard. Batch and streaming now
-   agree on every pair except the (exponentially rare) ones whose estimate
-   errs by more than the margin;
-4. survivors append to the output plus two index tables — `_index`
-   (id, fp, signature) and `_band_index` (id, band_id, band_hash).
+2. *within* the batch — ALL THREE batch recall channels (MinHash-LSH ∪
+   SimHash Hamming blocks ∪ winnow fingerprints), verified with the SAME
+   full measure set and edge rule the batch pipeline uses
+   (verify.verify_pairs_full / duplicate_edges_full — r03 verdict #3:
+   streaming used to run the MinHash channel only, so a containment-dup or
+   2-token-edit near-exact inside one batch survived streaming but not
+   batch), then connected components; only each component's min-id
+   representative survives;
+3. *against the corpus*, one join per channel:
+   - MinHash: the batch's band hashes join the committed band index
+     (bounded: bands×docs rows, no signatures re-read); candidates are
+     scored by MinHash signature agreement (the unbiased Jaccard
+     estimate; the committed shingle sets are not retained). Clear-cut
+     candidates (|estimate − threshold| > the ±2.5σ band of
+     :func:`est_margin`) are decided by the estimate alone; *borderline*
+     candidates are re-verified exactly: the few committed docs involved
+     are fetched from the deduped output table, re-shingled, and compared
+     by true Jaccard — so batch and streaming agree on every pair except
+     the (exponentially rare) ones whose estimate errs by more than the
+     margin;
+   - SimHash: the batch's 4×16-bit pigeonhole blocks join the committed
+     simhash index (one bigint per committed doc, kept in `_index`);
+     Hamming <= radius drops the new doc — exact, no text fetch;
+   - winnow: the batch's winnow fingerprints join the committed
+     `_winnow_index` (df-capped on the committed side — same boilerplate
+     cap as the batch channel); pairs sharing >= 2 fingerprints fetch the
+     committed text and drop on EXACT jaccard >= threshold OR containment
+     >= containment_threshold (the batch edge rule's containment leg);
+4. survivors append to the output plus three index tables — `_index`
+   (id, fp, signature, simhash), `_band_index` (id, band_id, band_hash)
+   and `_winnow_index` (id, wfp) — and one `_streaming_lineage` row
+   records the batch's decision counts (input, fresh, per-channel
+   candidates/drops, borderline estimate outcomes incl. how many exact
+   re-verifies FLIPPED the estimate's call, and the below-band kept tail)
+   so estimate drift is observable (r03 verdict #7).
 
 Idempotency: every write is a *dynamic partition overwrite* keyed on
 `batch_id`, and reads of the indexes exclude the current batch_id — a
@@ -64,8 +81,11 @@ from pyspark.sql import functions as F
 
 from entity_deduplication_hack_main_spark.config import DedupConfig
 from entity_deduplication_hack_main_spark.functions import represent, textstats
+from entity_deduplication_hack_main_spark.functions import simhash as shash
 from entity_deduplication_hack_main_spark.operators import cluster as cc_op
+from entity_deduplication_hack_main_spark.operators import hamming as ham_op
 from entity_deduplication_hack_main_spark.operators import lsh as lsh_op
+from entity_deduplication_hack_main_spark.operators import suffix as suffix_op
 from entity_deduplication_hack_main_spark.operators import verify as verify_op
 from entity_deduplication_hack_main_spark.plans import fsutil
 
@@ -95,6 +115,7 @@ class StreamingDedup:
         text_col: str = "text",
         id_col: str = "url",
         near_dup: bool = True,
+        containment_threshold: float = 0.9,
     ) -> None:
         self.spark = spark
         self.workdir = workdir
@@ -102,9 +123,12 @@ class StreamingDedup:
         self.text_col = text_col
         self.id_col = id_col
         self.near_dup = near_dup
+        self.containment_threshold = containment_threshold
         self.index_path = os.path.join(workdir, "_index")
         self.band_path = os.path.join(workdir, "_band_index")
+        self.winnow_path = os.path.join(workdir, "_winnow_index")
         self.out_path = os.path.join(workdir, "deduped")
+        self.lineage_path = os.path.join(workdir, "_streaming_lineage")
         self.checkpoint = os.path.join(workdir, "_checkpoint")
 
     # --- committed state -------------------------------------------------
@@ -115,9 +139,24 @@ class StreamingDedup:
         return self.spark.createDataFrame([], schema)
 
     def _index(self, exclude_batch: int, id_type: str = "string") -> DataFrame:
-        sig = ", signature array<bigint>" if self.near_dup else ""
+        sig = (
+            ", signature array<bigint>, simhash bigint"
+            if self.near_dup
+            else ""
+        )
         df = self._read_or_empty(
             self.index_path, f"id {id_type}, fp string{sig}, batch_id bigint"
+        )
+        return df.where(F.col("batch_id") != F.lit(exclude_batch))
+
+    def _winnow_index(
+        self, exclude_batch: int, id_type: str = "string"
+    ) -> DataFrame:
+        # one row per winnow fingerprint per committed doc — density is
+        # ~2/(w+1) of shingle positions (~4% of tokens), the same bounded
+        # state class as the band index
+        df = self._read_or_empty(
+            self.winnow_path, f"id {id_type}, wfp bigint, batch_id bigint"
         )
         return df.where(F.col("batch_id") != F.lit(exclude_batch))
 
@@ -178,25 +217,37 @@ class StreamingDedup:
         payload = represent.with_representation(
             fresh, cfg, self.id_col, self.text_col
         ).cache()
+        nbits = 64  # xxhash64 strategy on the streaming path
 
-        # near-dup within the batch: candidates → exact-Jaccard verify →
-        # components; non-representative (non-min-id) members drop
+        # near-dup WITHIN the batch: all three batch recall channels, the
+        # batch pipeline's full measure set and edge rule (r03 verdict #3),
+        # then components; non-representative (non-min-id) members drop
         bands = lsh_op.band_hashes(payload, cfg, "signature", "id", "xxhash64")
-        pairs = lsh_op.candidate_pairs(bands, cfg)
-        verified = verify_op.verify_pairs(
-            pairs, payload.select("id", "shingle_set", "fp"), cfg
+        lsh_pairs = lsh_op.candidate_pairs(bands, cfg)
+        ham_pairs = ham_op.hamming_candidate_pairs(
+            payload.select("id", "simhash"), cfg, nbits
+        ).select("id1", "id2")
+        win_pairs = suffix_op.winnow_pairs_from_payload(
+            payload, max_df=cfg.winnow_max_df
         )
-        edges = verify_op.duplicate_edges(verified)
+        in_cand = (
+            lsh_pairs.unionByName(ham_pairs).unionByName(win_pairs).distinct()
+        )
+        verified = verify_op.verify_pairs_full(in_cand, payload, cfg)
+        edges = verify_op.duplicate_edges_full(
+            verified, cfg, self.containment_threshold
+        )
         labels = cc_op.connected_components(edges, config=cfg)
         in_batch_drop = labels.where(
             F.col("node") != F.col("cluster_id")
         ).select(F.col("node").alias("id"))
         kept = payload.join(in_batch_drop, "id", "left_anti").cache()
 
-        # near-dup vs the committed corpus: shared band bucket → signature
-        # agreement (MinHash Jaccard estimate); borderline estimates get an
-        # exact-Jaccard re-verify against the committed docs' re-shingled
-        # text so batch and streaming agree on the same pair (r02 verdict)
+        # --- vs the committed corpus, channel 1: MinHash ------------------
+        # shared band bucket → signature agreement (MinHash Jaccard
+        # estimate); borderline estimates get an exact-Jaccard re-verify
+        # against the committed docs' re-shingled text so batch and
+        # streaming agree on the same pair (r02 verdict)
         kept_bands = lsh_op.band_hashes(kept, cfg, "signature", "id", "xxhash64")
         old_bands = self._band_index(
             exclude_batch=batch_id, id_type=id_type
@@ -220,6 +271,7 @@ class StreamingDedup:
             cand.join(kept.select("id", "signature", "shingle_set"), "id")
             .join(old_sigs, "old_id")
             .withColumn("_est", agree)
+            .persist()
         )
         m = est_margin(cfg)
         sure_drop = scored.where(
@@ -228,11 +280,96 @@ class StreamingDedup:
         borderline = scored.where(
             (F.col("_est") < F.lit(t + m))
             & (F.col("_est") >= F.lit(t - m))
-        ).select("id", "old_id", "shingle_set")
-        borderline_drop = self._exact_reverify(borderline, batch_id, id_type)
-        corpus_drop = sure_drop.unionByName(borderline_drop).distinct()
-        # localCheckpoint: survivors' lineage reads index_path, band_path
-        # AND out_path (borderline text fetch) — all overwritten below
+        ).select("id", "old_id", "_est", "shingle_set")
+        bl_meas = self._exact_pair_measures(
+            borderline, batch_id, id_type
+        ).persist()
+        borderline_drop = bl_meas.where(
+            F.col("ex_jaccard") >= F.lit(t)
+        ).select("id")
+
+        # --- channel 2: SimHash Hamming vs the committed simhash index ---
+        # exact from the index (one bigint per committed doc) — no text
+        # fetch; same 4x16-bit pigeonhole blocks + bucket cap as the batch
+        # channel (hamming.hamming_candidate_pairs)
+        from pyspark.sql import Window as W
+
+        old_sim = prior.select(
+            F.col("id").alias("old_id"), F.col("simhash").alias("old_sh")
+        )
+        new_blocks = kept.select(
+            "id",
+            "simhash",
+            F.explode(
+                shash.simhash_blocks(F.col("simhash"), cfg, nbits)
+            ).alias("b"),
+        ).select("id", "simhash", "b.block_id", "b.block_key")
+        old_blocks = (
+            old_sim.select(
+                "old_id",
+                "old_sh",
+                F.explode(
+                    shash.simhash_blocks(F.col("old_sh"), cfg, nbits)
+                ).alias("b"),
+            )
+            .select("old_id", "old_sh", "b.block_id", "b.block_key")
+            .withColumn(
+                "_n", F.count("*").over(W.partitionBy("block_id", "block_key"))
+            )
+            .where(F.col("_n") <= 10000)  # degenerate-fp coverage cap
+        )
+        sh_drop = (
+            new_blocks.join(old_blocks, ["block_id", "block_key"])
+            .where(
+                shash.hamming(F.col("simhash"), F.col("old_sh"))
+                <= cfg.hamming_radius
+            )
+            .select("id")
+            .distinct()
+            .persist()
+        )
+
+        # --- channel 3: winnow fingerprints vs the committed index -------
+        # pairs sharing >= 2 committed fps fetch the committed text and
+        # drop on EXACT jaccard or containment — the batch edge rule's
+        # containment leg, which the estimate channels cannot see
+        # (containment-dups sit below the symmetric-Jaccard threshold)
+        old_fps = (
+            self._winnow_index(exclude_batch=batch_id, id_type=id_type)
+            .select(F.col("id").alias("old_id"), "wfp")
+            .withColumn("_df", F.count("*").over(W.partitionBy("wfp")))
+            .where(F.col("_df") <= cfg.winnow_max_df)  # boilerplate cap
+        )
+        new_fps = kept.select("id", F.explode("winnow_fps").alias("wfp"))
+        wn_cand = (
+            new_fps.join(old_fps.select("old_id", "wfp"), "wfp")
+            .groupBy("id", "old_id")
+            .agg(F.count("*").alias("_nfp"))
+            .where(F.col("_nfp") >= 2)
+            .join(kept.select("id", "shingle_set"), "id")
+            .select("id", "old_id", "shingle_set")
+            .persist()
+        )
+        wn_meas = self._exact_pair_measures(wn_cand, batch_id, id_type)
+        wn_drop = (
+            wn_meas.where(
+                (F.col("ex_jaccard") >= F.lit(t))
+                | (F.col("ex_containment") >= F.lit(self.containment_threshold))
+            )
+            .select("id")
+            .distinct()
+            .persist()
+        )
+
+        corpus_drop = (
+            sure_drop.unionByName(borderline_drop)
+            .unionByName(sh_drop)
+            .unionByName(wn_drop)
+            .distinct()
+        )
+        # localCheckpoint: survivors' lineage reads index_path, band_path,
+        # winnow_path AND out_path (exact text fetches) — all overwritten
+        # below
         survivors = (
             kept.join(corpus_drop, "id", "left_anti")
             .select("id")
@@ -245,7 +382,7 @@ class StreamingDedup:
         self._overwrite_partition(out_rows.drop("fp"), self.out_path, batch_id)
         self._overwrite_partition(
             kept.join(survivors, "id", "left_semi").select(
-                "id", "fp", "signature"
+                "id", "fp", "signature", "simhash"
             ),
             self.index_path,
             batch_id,
@@ -255,20 +392,61 @@ class StreamingDedup:
             self.band_path,
             batch_id,
         )
-        for df in (payload, kept):
+        self._overwrite_partition(
+            kept.join(survivors, "id", "left_semi").select(
+                "id", F.explode("winnow_fps").alias("wfp")
+            ),
+            self.winnow_path,
+            batch_id,
+        )
+
+        # --- per-batch decision counts into the lineage table ------------
+        # (r03 verdict #7: the estimate tail risk — borderline calls, exact
+        # re-verify flips, and the below-band kept tail — is now observable
+        # per batch instead of silently absorbed)
+        est_says_drop = F.col("_est") >= F.lit(t)
+        exact_says_drop = F.col("ex_jaccard") >= F.lit(t)
+        counts = {
+            "n_input": batch.count(),
+            "n_fresh": fresh.count(),
+            "n_inbatch_drop": in_batch_drop.count(),
+            "mh_candidates": scored.count(),
+            "mh_sure_drop": sure_drop.count(),
+            "mh_borderline": bl_meas.count(),
+            "mh_borderline_drop": bl_meas.where(exact_says_drop).count(),
+            "mh_borderline_flipped": bl_meas.where(
+                est_says_drop != exact_says_drop
+            ).count(),
+            "mh_below_band_kept": scored.where(
+                F.col("_est") < F.lit(t - m)
+            ).count(),
+            "sh_drop": sh_drop.count(),
+            "wn_candidates": wn_cand.count(),
+            "wn_drop": wn_drop.count(),
+            "n_survivors": survivors.count(),
+        }
+        schema = ", ".join(f"{k} bigint" for k in counts)
+        self._overwrite_partition(
+            self.spark.createDataFrame([tuple(counts.values())], schema),
+            self.lineage_path,
+            batch_id,
+        )
+        for df in (payload, kept, scored, bl_meas, sh_drop, wn_cand, wn_drop):
             df.unpersist()
 
-    def _exact_reverify(
-        self, borderline: DataFrame, batch_id: int, id_type: str
+    def _exact_pair_measures(
+        self, pairs: DataFrame, batch_id: int, id_type: str
     ) -> DataFrame:
-        """(id) new docs whose borderline candidate pair is a TRUE near-dup
-        by exact Jaccard: fetch the committed partner docs from the deduped
-        output table, re-shingle their text, intersect/union shingle sets.
+        """pairs (id, old_id, shingle_set, *extras) → the same rows with
+        EXACT ``ex_jaccard`` and ``ex_containment`` against the committed
+        partner doc: fetch the committed text from the deduped output
+        table, re-shingle it, intersect/union shingle sets.
 
-        Bounded: only pairs with |estimate - threshold| <= est_margin(config)
-        reach this — the ±2.5σ band at any num_perms, a few % of candidates —
-        and only distinct old_ids are fetched (left-semi on the committed
-        table, pushed down to the parquet scan).
+        Bounded: only borderline MinHash candidates (the ±2.5σ
+        est_margin band — a few % of candidates) and >=2-shared-fp winnow
+        candidates reach this, and only distinct old_ids are fetched
+        (left-semi on the committed table, pushed down to the parquet
+        scan).
         """
         out = self._read_or_empty(
             self.out_path,
@@ -276,7 +454,7 @@ class StreamingDedup:
         ).where(F.col("batch_id") != F.lit(batch_id))
         old_docs = out.select(
             F.col(self.id_col).alias("old_id"), self.text_col
-        ).join(borderline.select("old_id").distinct(), "old_id", "left_semi")
+        ).join(pairs.select("old_id").distinct(), "old_id", "left_semi")
         old_repr = represent.with_representation(
             old_docs, self.config, "old_id", self.text_col
         ).select(  # with_representation renames the id col to "id"
@@ -284,14 +462,16 @@ class StreamingDedup:
             F.col("shingle_set").alias("old_shingles"),
         )
         union_sz = F.size(F.array_union("shingle_set", "old_shingles"))
-        jaccard = F.when(union_sz == 0, F.lit(1.0)).otherwise(
-            F.size(F.array_intersect("shingle_set", "old_shingles")) / union_sz
-        )
+        inter = F.size(F.array_intersect("shingle_set", "old_shingles"))
+        smaller = F.least(F.size("shingle_set"), F.size("old_shingles"))
+        jaccard = F.when(union_sz == 0, F.lit(1.0)).otherwise(inter / union_sz)
+        containment = F.when(smaller == 0, F.lit(1.0)).otherwise(inter / smaller)
+        keep_cols = [c for c in pairs.columns if c != "shingle_set"]
         return (
-            borderline.join(old_repr, "old_id")
-            .where(jaccard >= F.lit(float(self.config.jaccard_similar)))
-            .select("id")
-            .distinct()
+            pairs.join(old_repr, "old_id")
+            .withColumn("ex_jaccard", jaccard)
+            .withColumn("ex_containment", containment)
+            .select(*keep_cols, "ex_jaccard", "ex_containment")
         )
 
     def start(self, source_dir: str, schema: str, trigger_once: bool = True):

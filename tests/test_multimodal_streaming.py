@@ -185,6 +185,112 @@ def test_streaming_borderline_estimate_reverified_exactly(spark, tmp_path):
     assert urls == {"uA", "uKeep"}, urls
 
 
+def test_streaming_winnow_and_simhash_channels_match_batch(spark, tmp_path):
+    """r03 verdict #3: a containment-dup (contiguous chunk of a committed
+    doc — symmetric Jaccard ~0.49, invisible to the MinHash channel) and
+    an order-permuted near-exact (identical token bag, Hamming 0,
+    shingle-Jaccard ~0 — invisible to MinHash AND winnow) arrive in a
+    later batch. The batch pipeline dedups both (containment leg /
+    Hamming leg of the edge rule); streaming must agree, and the lineage
+    row must attribute each drop to its channel."""
+    import random
+
+    wd = str(tmp_path / "wd")
+    schema = "url string, warc_ts timestamp, text string"
+    a_long = " ".join(f"alpha{i}" for i in range(200))
+    c_doc = " ".join(f"ctok{i}" for i in range(60))
+    sd = StreamingDedup(spark, wd, config=_sd_config())
+    sd.process_batch(
+        spark.createDataFrame(
+            [("uA", None, a_long), ("uC", None, c_doc)], schema
+        ),
+        0,
+    )
+    contained = " ".join(f"alpha{i}" for i in range(50, 150))  # uB ⊂ uA
+    shuffled = c_doc.split()
+    random.Random(0).shuffle(shuffled)  # uD = uC's bag, new order
+    sd.process_batch(
+        spark.createDataFrame(
+            [
+                ("uB", None, contained),
+                ("uD", None, " ".join(shuffled)),
+                ("uE", None, " ".join(f"fresh{i}" for i in range(60))),
+            ],
+            schema,
+        ),
+        1,
+    )
+    urls = {r["url"] for r in spark.read.parquet(sd.out_path).collect()}
+    assert urls == {"uA", "uC", "uE"}, urls
+    lin = {
+        r["batch_id"]: r
+        for r in spark.read.parquet(sd.lineage_path).collect()
+    }
+    assert lin[1]["wn_drop"] >= 1      # uB fell to the winnow channel
+    assert lin[1]["sh_drop"] >= 1      # uD fell to the SimHash channel
+    assert lin[1]["n_survivors"] == 1  # uE
+
+
+def test_streaming_inbatch_containment_and_permutation_dedup(spark, tmp_path):
+    """The same two dup classes WITHIN one batch: the in-batch channel now
+    runs all three recall channels with the batch edge rule, so both
+    collapse to the min-id representative immediately."""
+    import random
+
+    wd = str(tmp_path / "wd")
+    schema = "url string, warc_ts timestamp, text string"
+    a_long = " ".join(f"beta{i}" for i in range(200))
+    contained = " ".join(f"beta{i}" for i in range(50, 150))
+    c_doc = " ".join(f"dtok{i}" for i in range(60))
+    shuffled = c_doc.split()
+    random.Random(1).shuffle(shuffled)
+    sd = StreamingDedup(spark, wd, config=_sd_config())
+    sd.process_batch(
+        spark.createDataFrame(
+            [
+                ("u1", None, a_long),
+                ("u2", None, contained),
+                ("u3", None, c_doc),
+                ("u4", None, " ".join(shuffled)),
+            ],
+            schema,
+        ),
+        0,
+    )
+    urls = {r["url"] for r in spark.read.parquet(sd.out_path).collect()}
+    assert urls == {"u1", "u3"}, urls
+
+
+def test_streaming_lineage_counts_borderline_flips(spark, tmp_path):
+    """r03 verdict #7: the lineage table records estimate-band decisions —
+    a borderline pair whose exact re-verify FLIPS the estimate's call
+    increments mh_borderline_flipped; one that agrees does not."""
+    wd = str(tmp_path / "wd")
+    schema = "url string, warc_ts timestamp, text string"
+    base = [f"tok{i}" for i in range(60)]
+    mk = lambda m: " ".join(base[:-m] + [f"new{i}" for i in range(m)])
+    sd = StreamingDedup(spark, wd, config=_sd_config())
+    sd.process_batch(
+        spark.createDataFrame([("uA", None, " ".join(base))], schema), 0
+    )
+    # estimate 0.750 >= t says drop, exact 0.657 < t says keep -> flipped
+    sd.process_batch(spark.createDataFrame([("uKeep", None, mk(12))], schema), 1)
+    # estimate 0.719 says drop, exact 0.706 >= t agrees -> not flipped
+    sd.process_batch(spark.createDataFrame([("uDrop", None, mk(10))], schema), 2)
+    lin = {
+        r["batch_id"]: r
+        for r in spark.read.parquet(sd.lineage_path).collect()
+    }
+    assert lin[1]["mh_borderline"] == 1
+    assert lin[1]["mh_borderline_drop"] == 0
+    assert lin[1]["mh_borderline_flipped"] == 1
+    assert lin[1]["n_survivors"] == 1
+    assert lin[2]["mh_borderline"] == 1
+    assert lin[2]["mh_borderline_drop"] == 1
+    assert lin[2]["mh_borderline_flipped"] == 0
+    assert lin[2]["n_survivors"] == 0
+
+
 def test_streaming_bigint_ids_supported(spark, tmp_path):
     """r02 advice: empty-index schemas are typed from the batch id column —
     a bigint id corpus must dedup across batches without string casts."""

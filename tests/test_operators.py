@@ -199,6 +199,87 @@ def test_learned_threshold_matches_fixed_rule_f1(spark):
     assert f1_learned >= f1_fixed - 1e-9, (f1_learned, f1_fixed)
 
 
+def test_learned_fit_deterministic_across_partitionings(spark):
+    """r03 verdict #5: the bounded fit sample is hash-ordered, so two fits
+    over differently-partitioned copies of the same data produce IDENTICAL
+    weights even when max_rows < total rows."""
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    j = rng.uniform(0, 1, 3000)
+    y = (j > 0.55).astype(int)
+    rows = [(float(a), int(b)) for a, b in zip(j, y)]
+    df1 = spark.createDataFrame(rows, "jaccard double, label int").coalesce(1)
+    df2 = spark.createDataFrame(
+        list(reversed(rows)), "jaccard double, label int"
+    ).repartition(13)
+    m1 = learned.fit_pair_classifier(df1, ["jaccard"], max_rows=1000)
+    m2 = learned.fit_pair_classifier(df2, ["jaccard"], max_rows=1000)
+    assert m1 == m2
+
+
+def test_precision_targeted_threshold(spark):
+    """r02 verdict #10: pick_threshold_for_precision hits a requested
+    precision (within ±0.02) on a held-out synthetic split, with maximal
+    recall among qualifying thresholds."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    n = 6000
+    j = rng.uniform(0, 1, n)
+    # noisy labels: P(dup) rises with j — no threshold is perfectly clean,
+    # so precision genuinely trades off against recall
+    y = (rng.uniform(0, 1, n) < np.clip(1.6 * j - 0.3, 0, 1)).astype(int)
+    rows = [(float(a), int(b)) for a, b in zip(j, y)]
+    train = spark.createDataFrame(rows[: n // 2], "jaccard double, label int")
+    valid = spark.createDataFrame(rows[n // 2:], "jaccard double, label int")
+    model = learned.fit_pair_classifier(train, ["jaccard"])
+    ops = {}
+    for target in (0.9, 0.95):
+        op = learned.pick_threshold_for_precision(valid, model, target)
+        ops[target] = op
+        # precision achieved on the validation split, within the gate
+        assert op["precision"] >= target - 1e-9
+        assert op["precision"] <= 1.0
+        assert 0.0 < op["recall"] <= 1.0
+        # independently recompute the operating point by applying
+        # min_score to the split — must reproduce the reported numbers
+        applied = valid.withColumn(
+            "pred", learned.classifier_pass(model, op["min_score"]).cast("int")
+        )
+        tp = applied.where((F.col("pred") == 1) & (F.col("label") == 1)).count()
+        pp = applied.where(F.col("pred") == 1).count()
+        assert abs(tp / pp - op["precision"]) <= 0.02
+    # a stricter target can only move the threshold up / recall down
+    assert ops[0.95]["min_score"] >= ops[0.9]["min_score"]
+    assert ops[0.95]["recall"] <= ops[0.9]["recall"]
+
+
+def test_pipeline_learned_model_hook_matches_fixed_rule(spark):
+    """r03 verdict #6: run_pipeline(model=...) swaps the Jaccard leg of
+    the edge rule for the learned predicate; a model trained to reproduce
+    the fixed rule yields the same cluster assignments on the golden
+    corpus."""
+    from entity_deduplication_hack_main_spark.plans.pipeline import run_pipeline
+    from entity_deduplication_hack_main_spark.sources import corpus
+
+    cfg = DedupConfig()
+    docs = corpus.synthesize_corpus(
+        spark, n_docs=300, dup_fraction=0.4, seed=9
+    ).cache()
+    base = run_pipeline(spark, docs, cfg)
+    # label candidate pairs with the fixed rule's own verdict: the learned
+    # model must reproduce the boundary (separable -> exact agreement)
+    labeled = base.verified.withColumn(
+        "label", (F.col("status") == "pass").cast("int")
+    )
+    model = learned.fit_pair_classifier(labeled, ["jaccard"])
+    relearned = run_pipeline(spark, docs, cfg, model=model)
+    a = {r["id"]: r["cluster_id"] for r in base.assignments.collect()}
+    b = {r["id"]: r["cluster_id"] for r in relearned.assignments.collect()}
+    assert a == b
+
+
 def test_pair_metrics_by_type(spark):
     """Per-type P/R/F1 with known counts (EvaluateVariations cell 5 analog):
     person: tp=1 (1,2), fn=1 (7,8); org: tp=1 (3,4), fp=1 (5,6 — but
