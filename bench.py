@@ -230,8 +230,14 @@ def main() -> None:
         return
 
     spark = _spark(cpus)
-    queries, query_loadavg = run_queries(spark, sf_dir, reps=args.reps)
+    # pipeline legs FIRST: on a fresh JVM the one discarded warm-up leg
+    # absorbs cold-start and the timed legs are stable (measured [11.1,
+    # 8.5, 8.6, 9.0] quiet-host). Run AFTER the 19-query phase, the same
+    # legs decay 25 → 16 → 9 — pipeline-path warm-up (kernel/CC codegen
+    # the queries don't exercise) stretches past one discard and the
+    # median lands mid-warm-up.
     pipe = run_pipeline_bench(spark, n_docs=5000, reps=args.reps)
+    queries, query_loadavg = run_queries(spark, sf_dir, reps=args.reps)
     queries["dedup_pipeline_5k"] = pipe["wall_sec"]
     total = round(sum(queries.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
