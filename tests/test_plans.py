@@ -89,6 +89,55 @@ def test_embedding_near_dup_lsh_plan_is_bucketed(spark, sf001):
     assert "BatchEvalPython" not in plan
 
 
+def test_cut_spans_raw_plan_broadcasts_ranges_no_python(spark, sf001):
+    """r03 verdict #9: the span-cut ranges join must broadcast the tiny
+    grouped-ranges side (the docs side carries the corpus text/token
+    arrays — a plan-chosen SMJ would shuffle THAT instead), and the whole
+    cut is JVM expressions — no Python anywhere."""
+    from entity_deduplication_hack_main_spark.operators import suffix
+
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    cfg = entry_queries.CFG
+    spans = suffix.substring_spans_exact(docs, cfg, span_k=20, hash_strategy="md5")
+    for cut in (
+        suffix.cut_spans_raw(docs, spans),
+        suffix.cut_spans(docs, spans),
+    ):
+        plan = _plan(cut)
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan.split("Exchange")[0]
+        assert "BatchEvalPython" not in plan
+
+
+def test_cut_spans_raw_decomposition_reconstructs_any_text(spark):
+    """Invariant behind raw cutting: for ARBITRARY text (unicode,
+    punctuation runs, empty, whitespace-only), sep[0] + Σ(tok[i]+sep[i+1])
+    rebuilds the input byte-exactly, and a doc with no spans passes
+    through cut_spans_raw verbatim."""
+    import random
+
+    from entity_deduplication_hack_main_spark.operators import suffix
+
+    rng = random.Random(99)
+    alphabet = (
+        "abcXYZ0123456789 \t\n.,;:!?()[]#@/\\-_'\"«»…—éüßÆ中文字тексту😀"
+    )
+    texts = [""] + [" "] + ["!!!"] + [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 120)))
+        for _ in range(200)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    empty_spans = spark.createDataFrame(
+        [], "id1 bigint, id2 bigint, start1 int, start2 int, span_len int"
+    )
+    out = {r["id"]: r for r in suffix.cut_spans_raw(docs, empty_spans).collect()}
+    for i, t in enumerate(texts):
+        assert out[i]["text_cut"] == t, f"doc {i}: {t!r} != {out[i]['text_cut']!r}"
+        assert out[i]["n_cut"] == 0
+
+
 def test_partition_pruning_on_warc_day(spark, tmp_path):
     """north_star: partition pruning on the crawl timestamp. Writing the
     corpus partitioned by days(warc_ts) must let a day filter prune."""
