@@ -145,6 +145,47 @@ def recall_by_type(
     )
 
 
+def error_analysis(
+    matched: DataFrame,
+    golden: DataFrame,
+    matched_cols: tuple[str, str] = ("id1", "id2"),
+    golden_cols: tuple[str, str] = ("original_id", "duplicate_id"),
+    exact_pairs: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """(predicted_not_in_golden, missed_matches): the reference's
+    regression-diff artifacts (``data/error_analysis/
+    *_predicted_not_in_golden.json`` and the per-run missed set behind
+    ``common_missed_matches.csv``) as pair DataFrames (p1, p2).
+
+    predicted_not_in_golden = matched − golden, after the same exact-dup
+    FP carve-out as :func:`pair_metrics` (pairs the engine proved
+    byte-identical are not errors just because the golden file missed
+    them); missed_matches = golden − matched. Persist with
+    ``sources.sinks.write_matches_json`` to diff across runs."""
+    m = _norm_pairs(matched, *matched_cols)
+    g = _norm_pairs(golden, *golden_cols)
+    fp_df = m.join(g, ["p1", "p2"], "left_anti")
+    if exact_pairs is not None:
+        fp_df = fp_df.join(
+            _norm_pairs(exact_pairs, *matched_cols), ["p1", "p2"], "left_anti"
+        )
+    fn_df = g.join(m, ["p1", "p2"], "left_anti")
+    return fp_df, fn_df
+
+
+def common_missed_matches(*missed: DataFrame) -> DataFrame:
+    """Pairs missed by EVERY run — ``common_missed_matches.csv``'s
+    cross-model intersection (the reference diffs its models' missed sets
+    to find structurally-hard pairs). Input: >= 1 (p1, p2) missed sets
+    from :func:`error_analysis`."""
+    if not missed:
+        raise ValueError("need at least one missed-pair set")
+    out = missed[0].select("p1", "p2").distinct()
+    for df in missed[1:]:
+        out = out.intersect(df.select("p1", "p2").distinct())
+    return out
+
+
 def cluster_recall(
     assignments: DataFrame,
     golden: DataFrame,

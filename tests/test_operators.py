@@ -342,6 +342,36 @@ def test_pair_metrics_with_carveout(spark):
     assert (m2["tp"], m2["fp"], m2["fn"]) == (2, 1, 1)
 
 
+def test_error_analysis_diff_sets(spark, tmp_path):
+    """SURVEY §5: the reference's regression diff artifacts —
+    predicted_not_in_golden (with the exact-dup carve-out) and the missed
+    set, plus the cross-run common_missed_matches intersection; JSON
+    roundtrip via the S4/S5 sinks."""
+    from entity_deduplication_hack_main_spark.sources import sinks
+
+    matched = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6), (9, 10)], "id1 bigint, id2 bigint"
+    )
+    golden = spark.createDataFrame(
+        [(2, 1), (3, 4), (7, 8), (11, 12)],
+        "original_id bigint, duplicate_id bigint",
+    )
+    exact = spark.createDataFrame([(5, 6)], "id1 bigint, id2 bigint")
+    fp_df, fn_df = evaluate.error_analysis(matched, golden, exact_pairs=exact)
+    assert {(r["p1"], r["p2"]) for r in fp_df.collect()} == {(9, 10)}
+    assert {(r["p1"], r["p2"]) for r in fn_df.collect()} == {(7, 8), (11, 12)}
+    # JSON roundtrip (S4 sink / S5 scan — the reference persists these)
+    path = str(tmp_path / "predicted_not_in_golden")
+    sinks.write_matches_json(fp_df, path)
+    back = sinks.read_matches_json(spark, path)
+    assert {(r["p1"], r["p2"]) for r in back.collect()} == {(9, 10)}
+    # common_missed_matches: pairs EVERY run missed
+    matched_b = spark.createDataFrame([(7, 8)], "id1 bigint, id2 bigint")
+    _, fn_b = evaluate.error_analysis(matched_b, golden)
+    common = evaluate.common_missed_matches(fn_df, fn_b)
+    assert {(r["p1"], r["p2"]) for r in common.collect()} == {(11, 12)}
+
+
 def test_recall_by_type(spark):
     matched = spark.createDataFrame([(1, 2)], "id1 bigint, id2 bigint")
     golden = spark.createDataFrame(
