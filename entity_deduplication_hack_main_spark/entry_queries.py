@@ -129,6 +129,30 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bpe_token_stats",
+    f"""
+SELECT doc_id,
+       {textstats.sql_bpe_token_count('text')}::BIGINT AS n_bpe_tokens,
+       {textstats.sql_token_count('text')}::BIGINT AS n_ws_tokens
+FROM documents
+""",
+)
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting both ways the task brief names: the whitespace
+    count (normalized) and the GPT-2-style BPE-ish pre-tokenizer segment
+    count over the RAW text — the cheap length-in-tokens estimate a
+    training-data pipeline budgets with."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        textstats.bpe_token_count(F.col("text"))
+        .cast("bigint")
+        .alias("n_bpe_tokens"),
+        textstats.token_count(F.col("text")).cast("bigint").alias("n_ws_tokens"),
+    )
+
+
+@register(
     "shingle_set_digests",
     f"""
 WITH {_REPR}

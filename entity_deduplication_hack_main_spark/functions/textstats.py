@@ -27,6 +27,28 @@ def token_count(text: Column) -> Column:
     return textnorm.token_count(textnorm.normalize(text))
 
 
+#: GPT-2-style pre-tokenization pattern (Radford et al. 2019, the public
+#: gpt2 regex), restricted to constructs RE2 also supports so the DuckDB
+#: oracle is bit-identical: the possessive-contraction alternatives, then
+#: optional-space letter runs / digit runs / punctuation runs, then
+#: whitespace runs. (The original's `\s+(?!\S)` lookahead is dropped —
+#: RE2 has no lookahead — which only shifts where a trailing-space token
+#: boundary falls, not the count class.) This is the "BPE-ish regex"
+#: token count of the task brief: the PRE-tokenizer segment count that
+#: upper-bounds BPE merges per text, useful as a cheap length-in-tokens
+#: estimate for training-data budgeting.
+BPE_PRETOKEN_PAT = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Count of GPT-2-style pre-tokenizer segments (BPE-ish token count)
+    over the RAW text — no normalization; casing/punctuation count the
+    way a real tokenizer would see them."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_PRETOKEN_PAT), 0))
+
+
 def distinct_token_count(text: Column) -> Column:
     return F.size(F.array_distinct(textnorm.tokens(textnorm.normalize(text))))
 
@@ -86,6 +108,13 @@ def sql_token_count(text: str) -> str:
 
 def sql_distinct_token_count(text: str) -> str:
     return f"len(list_distinct({textnorm.sql_tokens(textnorm.sql_normalize(text))}))"
+
+
+def sql_bpe_token_count(text: str) -> str:
+    """DuckDB rendering of :func:`bpe_token_count` — RE2 runs the same
+    pattern (single quotes doubled for the SQL literal)."""
+    lit = BPE_PRETOKEN_PAT.replace("'", "''")
+    return f"len(regexp_extract_all({text}, '{lit}'))"
 
 
 def sql_stopword_ratio(text: str, lang: str = "en") -> str:

@@ -342,6 +342,28 @@ def test_pair_metrics_with_carveout(spark):
     assert (m2["tp"], m2["fp"], m2["fn"]) == (2, 1, 1)
 
 
+def test_bpe_token_count_segments(spark):
+    """BPE-ish pre-tokenizer count: contractions split ('t / 's win over
+    the punct class), words/digits/punct runs segment GPT-2-style, raw
+    casing preserved, empty and whitespace-only texts behave."""
+    from entity_deduplication_hack_main_spark.functions import textstats
+
+    rows = [
+        ("Hello, world! It's 2024.", 8),  # Hello , world ! It 's 2024 .
+        ("", 0),
+        ("   ", 1),                        # one whitespace run
+        ("abc123", 2),                     # letter run + digit run
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in rows], "text string")
+    got = [
+        r["n"]
+        for r in df.select(
+            textstats.bpe_token_count(F.col("text")).alias("n")
+        ).collect()
+    ]
+    assert got == [n for _, n in rows]
+
+
 def test_error_analysis_diff_sets(spark, tmp_path):
     """SURVEY §5: the reference's regression diff artifacts —
     predicted_not_in_golden (with the exact-dup carve-out) and the missed
