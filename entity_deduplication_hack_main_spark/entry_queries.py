@@ -801,6 +801,31 @@ def knn_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_ivf",
+    knn_op.sql_ivf_knn(dim=64, k=5, n_cells=16, nprobe=4),
+)
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (the task brief's inverted-file variant next to the
+    hyperplane-LSH path): seeded data-independent unit anchors as the
+    coarse quantizer, one cell per corpus vector, nprobe=4 of 16 cells
+    per probe, exact cosine + rank on the candidates. The oracle runs
+    the IDENTICAL algorithm (same anchor literals, same rounded-dot
+    argmax + tie-break), so this checks the index structure itself, not
+    just a recall bound — the recall-vs-bruteforce gates live in pytest
+    (`test_ivf_knn_full_probe_equals_bruteforce`)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    probes = base.where(F.col("vec_id") % 10 == 0)
+    return knn_op.ivf_knn(
+        probes, base, dim=64, k=5, n_cells=16, nprobe=4,
+        id_col="vec_id", vec_col="v",
+    )
+
+
+@register(
     "embedding_near_dup_pairs",
     """
 SELECT a.vec_id AS id1, b.vec_id AS id2,

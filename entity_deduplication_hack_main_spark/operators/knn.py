@@ -326,6 +326,160 @@ def embedding_near_dup_lsh(
     )
 
 
+def ivf_anchors(dim: int, n_cells: int = 16, seed: int = 69) -> np.ndarray:
+    """(n_cells, dim) unit anchor vectors — the coarse quantizer of an
+    IVF index with DATA-INDEPENDENT, seeded anchors (spherical k-means
+    init without the training pass). Deterministic and data-free so the
+    SAME literal anchors can be embedded in the DuckDB oracle SQL (the
+    minhash permutation-table precedent) — a trained-centroid IVF would
+    tie the oracle string to the data, which the driver contract forbids.
+    Trained centroids would tighten cells (better recall at equal
+    nprobe); the structure, join shape and scale behavior are identical.
+    """
+    rng = np.random.default_rng([seed, 4244])
+    a = rng.standard_normal((n_cells, dim))
+    a /= np.linalg.norm(a, axis=1, keepdims=True)
+    return a
+
+
+def _ivf_cell_scores(vec_col: str, anchors: np.ndarray) -> list:
+    """Per-anchor (rounded dot, anchor index) structs — rounding to 6
+    decimals before the argmax makes the cell assignment robust to the
+    last-ulp summation-order differences between the Spark fold and
+    DuckDB's list_inner_product; ties break to the larger index in both
+    engines."""
+    out = []
+    for i, anchor in enumerate(anchors):
+        lit = F.array(*[F.lit(float(x)) for x in anchor])
+        out.append(
+            F.struct(
+                F.round(simfn.dot(F.col(vec_col), lit), 6).alias("d"),
+                F.lit(i).alias("i"),
+            )
+        )
+    return out
+
+
+def ivf_knn(
+    probes: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 69,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(probe_id, neighbor_id, cosine, rank): IVF approximate top-k —
+    the inverted-file ANN structure next to the hyperplane-LSH path.
+
+    Corpus vectors land in the cell of their max-dot anchor (ONE cell
+    each — the inverted file); each probe searches its ``nprobe``
+    best-dot cells; candidates get exact JVM cosine + rank. Recall < 1
+    by design at nprobe < n_cells and rises monotonically with nprobe;
+    at nprobe == n_cells the output EQUALS brute force (pytest-gated).
+    Scale shape: assignment is a pure JVM expression (no shuffle), the
+    candidate join is keyed on cell — expected fan-out n/n_cells per
+    probe, the same bucket-bounded pattern as every other channel. Cell
+    skew (anchors are untrained) is bounded by the dot-argmax geometry;
+    a trained quantizer drops in by replacing :func:`ivf_anchors`.
+    """
+    anchors = ivf_anchors(dim, n_cells, seed)
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    c_cells = cv.withColumn(
+        "cell", F.array_max(F.array(*_ivf_cell_scores("cv", anchors)))["i"]
+    )
+    pv = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pv")
+    )
+    # top-nprobe cells per probe: sort the (d, i) structs descending and
+    # slice — the same (d desc, i desc) order the oracle's window uses
+    p_cells = pv.select(
+        "probe_id",
+        "pv",
+        F.explode(
+            F.slice(
+                F.reverse(
+                    F.array_sort(F.array(*_ivf_cell_scores("pv", anchors)))
+                ),
+                1,
+                min(nprobe, n_cells),
+            )["i"]
+        ).alias("cell"),
+    )
+    scored = (
+        p_cells.join(c_cells, "cell")
+        .where(F.col("probe_id") != F.col("neighbor_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(simfn.cosine(F.col("pv"), F.col("cv")), 6).alias("cosine"),
+        )
+    )
+    return top_k_per_group(
+        scored,
+        ["probe_id"],
+        [F.col("cosine").desc(), F.col("neighbor_id").asc()],
+        k,
+    ).select("probe_id", "neighbor_id", "cosine", "rank")
+
+
+def sql_ivf_knn(
+    dim: int,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 69,
+    probe_filter: str = "vec_id % 10 = 0",
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB SELECT matching :func:`ivf_knn` — the IDENTICAL algorithm
+    (not brute force): same literal anchors, same rounded-dot argmax with
+    the same tie-break, same nprobe window, same exact-cosine rank."""
+    anchors = ivf_anchors(dim, n_cells, seed)
+    rows = ", ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            i, ", ".join(repr(float(x)) for x in anchor)
+        )
+        for i, anchor in enumerate(anchors)
+    )
+    return f"""
+WITH _anchors(ai, av) AS (VALUES {rows}),
+_v AS (SELECT {id_col} AS vid, {vec_col}::DOUBLE[] AS v FROM {table}),
+_scored AS (
+  SELECT vid, v, ai, round(list_inner_product(av, v), 6) AS d
+  FROM _v CROSS JOIN _anchors
+),
+_rk AS (
+  SELECT vid, v, ai,
+         row_number() OVER (PARTITION BY vid ORDER BY d DESC, ai DESC) AS rn
+  FROM _scored
+),
+_cells  AS (SELECT vid, v, ai AS cell FROM _rk WHERE rn = 1),
+_pcells AS (
+  SELECT vid, v, ai AS cell FROM _rk
+  WHERE rn <= {min(nprobe, n_cells)} AND {probe_filter.replace(id_col, 'vid')}
+),
+_cand AS (
+  SELECT p.vid AS probe_id, c.vid AS neighbor_id,
+         round(list_cosine_similarity(p.v, c.v), 6) AS cosine
+  FROM _pcells p JOIN _cells c ON p.cell = c.cell AND p.vid != c.vid
+),
+_out AS (
+  SELECT probe_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM _cand
+)
+SELECT probe_id, neighbor_id, cosine, rank FROM _out WHERE rank <= {k}
+"""
+
+
 def embedding_near_dup_pairs_matmul(
     df: DataFrame,
     threshold: float = 0.95,

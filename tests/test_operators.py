@@ -703,6 +703,34 @@ def test_knn_matmul_survives_mass_ties_at_k_boundary(spark):
         == [1, 2, 3, 4, 5]
 
 
+def test_ivf_knn_full_probe_equals_bruteforce_and_recall_monotone(spark):
+    """IVF correctness envelope: probing ALL cells must reproduce brute
+    force EXACTLY (the inverted file partitions the corpus — nothing is
+    lost, only skipped), and recall rises monotonically with nprobe."""
+    import numpy as np
+
+    rng = np.random.default_rng(31)
+    rows = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    probes = df.where(F.col("vec_id") % 25 == 0)
+    exact = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in knn.brute_force_knn(probes, df, k=3).collect()
+    }
+    full = knn.ivf_knn(probes, df, dim=16, k=3, n_cells=8, nprobe=8).collect()
+    assert {(r["probe_id"], r["neighbor_id"]) for r in full} == exact
+    rec = []
+    for nprobe in (1, 3, 8):
+        got = {
+            (r["probe_id"], r["neighbor_id"])
+            for r in knn.ivf_knn(
+                probes, df, dim=16, k=3, n_cells=8, nprobe=nprobe
+            ).collect()
+        }
+        rec.append(len(got & exact) / len(exact))
+    assert rec[0] <= rec[1] <= rec[2] == 1.0
+
+
 def test_cut_spans_removes_only_duplicate_occurrence(spark):
     """Span cutting: the lower-id doc keeps the run, the higher-id doc
     loses exactly those tokens; untouched docs pass through unchanged."""
