@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "events_hourly",
     "similar_part_names",
     "knn_matmul",
+    "knn_ivf",
     "embedding_near_dup_matmul",
     "embedding_near_dup_lsh",
 ]
