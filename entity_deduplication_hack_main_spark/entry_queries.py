@@ -819,8 +819,12 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
     probes = base.where(F.col("vec_id") % 10 == 0)
+    # single-file testdata scan = ONE task; the probe side broadcasts, so
+    # the corpus side does all cell-assignment + cosine work — spread it
+    # (same rationale + sizing as similar_part_names)
+    corpus = base.repartition(spark.sparkContext.defaultParallelism * 2)
     return knn_op.ivf_knn(
-        probes, base, dim=64, k=5, n_cells=16, nprobe=4,
+        probes, corpus, dim=64, k=5, n_cells=16, nprobe=4,
         id_col="vec_id", vec_col="v",
     )
 

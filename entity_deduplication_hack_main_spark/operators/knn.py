@@ -410,8 +410,15 @@ def ivf_knn(
             )["i"]
         ).alias("cell"),
     )
+    # BROADCAST the probe side: the join key has only n_cells distinct
+    # values, so a shuffle join would hash the entire corpus onto
+    # n_cells partitions — 16 tasks doing all the cosine work regardless
+    # of cluster size (measured 6.4s vs 1.3s at sf0.1). Broadcasting the
+    # (small by contract) probe side keeps the corpus in its incoming
+    # partitioning and the cosine work data-parallel.
     scored = (
-        p_cells.join(c_cells, "cell")
+        F.broadcast(p_cells)
+        .join(c_cells, "cell")
         .where(F.col("probe_id") != F.col("neighbor_id"))
         .select(
             "probe_id",

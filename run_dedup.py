@@ -105,12 +105,26 @@ def main() -> None:
         t0 = time.monotonic()
         sd.start(args.streaming_source, args.streaming_schema).awaitTermination()
         out = spark.read.parquet(sd.out_path)
-        print(json.dumps({
+        result = {
             "mode": "streaming",
             "deduped_rows": out.count(),
             "wall_sec": round(time.monotonic() - t0, 2),
             "out_path": sd.out_path,
-        }))
+        }
+        # per-channel decision counts, summed over this run's batches —
+        # the _streaming_lineage table holds the per-batch rows
+        from entity_deduplication_hack_main_spark.plans import fsutil
+
+        if fsutil.exists(spark, sd.lineage_path):
+            lin = spark.read.parquet(sd.lineage_path)
+            agg = lin.groupBy().sum().collect()[0].asDict()
+            result["lineage_totals"] = {
+                k.removeprefix("sum(").removesuffix(")"): v
+                for k, v in agg.items()
+                if k.startswith("sum(") and "batch_id" not in k
+            }
+            result["n_batches"] = lin.count()
+        print(json.dumps(result))
         return
 
     if args.synthetic:
