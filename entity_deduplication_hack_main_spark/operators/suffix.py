@@ -307,10 +307,29 @@ def substring_spans_exact(
     # tokenize/shingle/explode the whole corpus TWICE and shuffle it twice
     # — at corpus scale the gram table is the largest intermediate there
     # is (one row per token), so the single groupBy is the plan to want.
-    memb = (
+    #
+    # Hot-gram guard: the df cap is enforced BEFORE the collect_list. A
+    # globally hot boilerplate gram (cookie banner, license header — df
+    # 10^6+ at corpus scale) must otherwise materialize its full member
+    # array on ONE reducer before a post-agg filter can discard it — a
+    # multi-GB single-key buffer. groupBy().count() partial-aggregates
+    # (hot keys collapse to one long per map partition), the over-cap set
+    # is tiny by construction (at most total_grams/max_df keys, in
+    # practice a handful of boilerplate grams) and is broadcast, and the
+    # anti join drops its rows map-side — no reducer ever sees a hot
+    # gram's members. The >= 2 filter stays post-agg: singleton grams
+    # build size-1 arrays, bounded by definition.
+    hot = (
         g.groupBy("g")
+        .agg(F.count("*").alias("_df"))
+        .where(F.col("_df") > max_df)
+        .select("g")
+    )
+    cold = g.join(F.broadcast(hot), "g", "left_anti")
+    memb = (
+        cold.groupBy("g")
         .agg(F.collect_list(F.struct("id", "pos")).alias("ms"))
-        .where((F.size("ms") >= 2) & (F.size("ms") <= max_df))
+        .where(F.size("ms") >= 2)
     )
     anchors = (
         memb.select(F.explode("ms").alias("a"), "ms")

@@ -630,6 +630,39 @@ def test_substring_spans_two_disjoint_runs_stay_separate(spark):
     ]
 
 
+def test_substring_spans_hot_gram_dropped_pre_aggregation(spark):
+    """r04 verdict #1: a boilerplate gram with df >> max_df (cookie
+    banner / license header) must be dropped BEFORE the collect_list — no
+    reducer may materialize its full member array — and the final span
+    output must be identical to the post-agg-filter semantics: hot-gram
+    anchors contribute nothing, legitimate pairs keep their spans."""
+    run = " ".join(f"shared{i}" for i in range(25))
+    banner = " ".join(f"banner{i}" for i in range(20))  # one pure 20-gram
+    rows = [
+        (0, "alpha beta " + run + " " + banner),
+        (1, run + " " + banner),
+    ]
+    # 40 more docs carrying ONLY the banner: its pure gram has df = 42
+    rows += [(i, f"doc{i} filler " + banner) for i in range(2, 42)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out_df = suffix.substring_spans_exact(
+        docs, DedupConfig(), span_k=20, max_df=5
+    )
+    plan = out_df._jdf.queryExecution().executedPlan().toString()
+    # guard shape: broadcast anti join (hot-gram drop) feeding the
+    # member aggregation — and the aggregate's input already excludes
+    # hot grams, so the plan carries no post-agg size(ms) <= cap filter
+    assert "LeftAnti" in plan
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+    out = out_df.collect()
+    # banner-only docs never pair (their sole shared gram is over-cap);
+    # docs 0/1 share shared0..24+banner0..19 = 45 contiguous tokens, but
+    # the final pure-banner anchor is df-capped, so the maximal reported
+    # run is 44 tokens (same result the old post-agg filter produced)
+    assert [(r["id1"], r["id2"], r["start1"], r["start2"], r["span_len"])
+            for r in out] == [(0, 1, 2, 0, 44)]
+
+
 def test_hyperplane_bands_pass_through_string_ids(spark):
     """r02 advice: the banding output schema must inherit the id type —
     string url ids used to break Arrow conversion."""

@@ -129,13 +129,27 @@ def test_cut_spans_raw_decomposition_reconstructs_any_text(spark):
     docs = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
     )
-    empty_spans = spark.createDataFrame(
-        [], "id1 bigint, id2 bigint, start1 int, start2 int, span_len int"
+    # Zero-impact spans (start far beyond any doc's tokens) attach a
+    # non-null range list to EVERY doc, so the sep/token SPLICED branch
+    # executes for every aligned doc and must rebuild the input
+    # byte-exactly — an empty spans table would take the `otherwise(text)`
+    # passthrough and verify nothing (r04 advice #4).
+    touch_spans = spark.createDataFrame(
+        [(-1, i, 0, 10**6, 5) for i in range(len(texts))],
+        "id1 bigint, id2 bigint, start1 int, start2 int, span_len int",
     )
-    out = {r["id"]: r for r in suffix.cut_spans_raw(docs, empty_spans).collect()}
+    out = {r["id"]: r for r in suffix.cut_spans_raw(docs, touch_spans).collect()}
+    spliced = sum(1 for r in out.values() if r["aligned"])
+    assert spliced >= len(texts) * 0.9  # the branch genuinely ran
     for i, t in enumerate(texts):
         assert out[i]["text_cut"] == t, f"doc {i}: {t!r} != {out[i]['text_cut']!r}"
         assert out[i]["n_cut"] == 0
+    # and a doc with NO spans row still passes through verbatim
+    empty_spans = spark.createDataFrame(
+        [], "id1 bigint, id2 bigint, start1 int, start2 int, span_len int"
+    )
+    out0 = suffix.cut_spans_raw(docs, empty_spans).where("id = 3").first()
+    assert out0["text_cut"] == texts[3] and out0["n_cut"] == 0
 
 
 def test_partition_pruning_on_warc_day(spark, tmp_path):
