@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "top_orders_per_customer",
     "events_hourly",
     "similar_part_names",
+    "entity_verify_pairs",
     "knn_matmul",
     "knn_ivf",
     "embedding_near_dup_matmul",
@@ -85,35 +86,64 @@ def run_pipeline_bench(
         spark, n_docs=n_docs, seed=seed, size_mult=size_mult
     ).select("doc_id", "text")
 
-    legs, loadavgs, n_clusters = [], [], 0
-    warmup_loadavg = None
-    total_legs = reps + 1 if reps > 1 else 1
-    docs = None
-    for leg in range(total_legs):
+    state = {"docs": None, "n_clusters": 0}
+
+    def _leg() -> tuple[float, float]:
         spark.catalog.clearCache()  # no cross-leg stage-cache substitution
-        docs = docs_src.cache()
-        docs.count()  # corpus generation excluded from dedup timing
+        if state["docs"] is not None:
+            state["docs"].unpersist()
+        state["docs"] = docs_src.cache()
+        state["docs"].count()  # corpus generation excluded from dedup timing
         la = round(os.getloadavg()[0], 2)
         t0 = time.monotonic()
-        res = run_pipeline(spark, docs, DedupConfig())
-        n_clusters = res.assignments.select("cluster_id").distinct().count()
-        wall = time.monotonic() - t0
+        res = run_pipeline(spark, state["docs"], DedupConfig())
+        state["n_clusters"] = (
+            res.assignments.select("cluster_id").distinct().count()
+        )
+        return round(time.monotonic() - t0, 3), la
+
+    legs, loadavgs = [], []
+    warmup_loadavg = None
+    total_legs = reps + 1 if reps > 1 else 1
+    for leg in range(total_legs):
+        wall, la = _leg()
         if reps > 1 and leg == 0:
             warmup_loadavg = la  # discarded warm-up leg, tagged separately
             continue  # so loadavg_per_leg[i] pairs with legs_sec[i]
-        legs.append(round(wall, 3))
+        legs.append(wall)
         loadavgs.append(la)
-    docs.unpersist()
+    # Contention guard (r04 verdict #2): a leg whose start loadavg exceeds
+    # max(2x the quietest leg, 4.0) timed the host, not the operator (the
+    # r04 artifact's 13.8s pipeline median at leg loadavg 9.6-17.7 vs 8.8s
+    # quiet). Re-run such legs — bounded at `reps` retries — keeping the
+    # replacement only if it ran quieter; runs that stay loaded after the
+    # budget are flagged contended=true instead of silently reported.
+    def _threshold() -> float:
+        return max(2.0 * min(loadavgs), 4.0)
+
+    retries = 0
+    while reps > 1 and retries < reps:
+        worst = max(range(len(legs)), key=lambda i: loadavgs[i])
+        if loadavgs[worst] <= _threshold():
+            break
+        wall, la = _leg()
+        retries += 1
+        if la < loadavgs[worst]:
+            legs[worst], loadavgs[worst] = wall, la
+    contended = bool(loadavgs) and max(loadavgs) > _threshold()
+    state["docs"].unpersist()
     wall = statistics.median(legs)
     return {
         "n_docs": n_docs,
         "wall_sec": round(wall, 3),
         "docs_per_sec": round(n_docs / wall, 1),
-        "n_clusters": n_clusters,
+        "n_clusters": state["n_clusters"],
         "legs_sec": legs,
         "loadavg_per_leg": loadavgs,
         "warmup_loadavg": warmup_loadavg,
         "warmup_discarded": reps > 1,
+        "contended": contended,
+        "contention_retries": retries,
     }
 
 
@@ -255,6 +285,8 @@ def main() -> None:
                 "pipeline_legs_sec": pipe["legs_sec"],
                 "pipeline_loadavg_per_leg": pipe["loadavg_per_leg"],
                 "pipeline_warmup_loadavg": pipe["warmup_loadavg"],
+                "pipeline_contended": pipe["contended"],
+                "pipeline_contention_retries": pipe["contention_retries"],
                 "cpus": cpus,
                 "reps": args.reps,
                 "loadavg": [round(x, 2) for x in os.getloadavg()],

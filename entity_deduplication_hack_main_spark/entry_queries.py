@@ -119,10 +119,12 @@ FROM documents
 )
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
+    return docs.withColumn(
+        "_toks", textstats.tokens_col(F.col("text"))
+    ).select(
         "doc_id",
-        textstats.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
-        textstats.distinct_token_count(F.col("text"))
+        F.size("_toks").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("_toks"))
         .cast("bigint")
         .alias("n_distinct_tokens"),
     )
@@ -318,10 +320,12 @@ FROM documents
 )
 def lang_stopword_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
+    return docs.withColumn(
+        "_toks", textstats.tokens_col(F.col("text"))
+    ).select(
         "doc_id",
         *[
-            F.round(textstats.stopword_ratio(F.col("text"), lg), 6).alias(
+            F.round(textstats.stopword_ratio_from(F.col("_toks"), lg), 6).alias(
                 f"{lg}_ratio"
             )
             for lg in ["en", "de", "fr", "es", "nl"]
@@ -405,8 +409,13 @@ FROM _q
 )
 def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", textstats.quality_score(F.col("text")).alias("quality")
+    return docs.withColumn(
+        "_toks", textstats.tokens_col(F.col("text"))
+    ).select(
+        "doc_id",
+        textstats.quality_score_from(F.col("_toks"), F.col("text")).alias(
+            "quality"
+        ),
     )
 
 
@@ -629,6 +638,174 @@ def similar_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("id1") < F.col("id2"))
         .select("id1", "id2", F.levenshtein("n1", "n2").alias("lev"))
         .where(F.col("lev") <= 4)
+    )
+
+
+# --- entity verification (P6-P8 / C1-C3) oracle ---------------------------
+# Record-linkage twin tables derived DETERMINISTICALLY from `customer` (+
+# nation name): source A = the raw fields; source B = the same customers
+# through a noisy channel (case change, one-char balance edit, dropped
+# nation, an acronym-collapsed segment) — each perturbation keyed on
+# c_custkey mod classes so both engines derive identical records. The
+# balance field is rounded to a BIGINT before stringifying (float→string
+# formatting differs across engines; integer strings do not). Pairs = the
+# linkage self-pairs (k, k) plus adjacent (k, k+1) non-match probes.
+
+_ENT_FIELDS = ["name", "nat", "bal", "seg"]
+
+
+def _sql_populated(x: str) -> str:
+    return f"({x} IS NOT NULL AND trim({x}) != '' AND lower({x}) != 'nan')"
+
+
+def _entity_oracle_sql() -> str:
+    from entity_deduplication_hack_main_spark.functions import (
+        similarity as simfn,
+    )
+
+    sims, commons, pa, pb, exact_terms = [], [], [], [], []
+    for f in _ENT_FIELDS:
+        a, b = f"a_{f}", f"b_{f}"
+        common = f"({_sql_populated(a)} AND {_sql_populated(b)})"
+        base = f"({simfn.sql_norm_levenshtein_sim(a, b)})"
+        boosted = (
+            f"CASE WHEN {simfn.sql_acronym_match(a, b)} "
+            f"THEN greatest({base}, 0.95) ELSE {base} END"
+        )
+        sims.append(f"CASE WHEN {common} THEN ({boosted}) END AS sim_{f}")
+        commons.append(f"{common}::INT")
+        pa.append(f"{_sql_populated(a)}::INT")
+        pb.append(f"{_sql_populated(b)}::INT")
+        exact_terms.append(f"coalesce(sim_{f}, -1.0) IN (1.0, -1.0)")
+    total = " + ".join(f"coalesce(sim_{f}, 0.0)" for f in _ENT_FIELDS)
+    thr = simfn.sql_adaptive_threshold("n_common")
+    return f"""
+WITH _r AS (
+  SELECT c_custkey, c_name, n_name,
+         round(c_acctbal)::BIGINT::VARCHAR AS bal_s, c_mktsegment
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+),
+_a AS (
+  SELECT c_custkey AS id, c_name AS name, n_name AS nat,
+         bal_s AS bal, c_mktsegment AS seg
+  FROM _r
+),
+_b AS (
+  SELECT c_custkey AS id,
+         CASE WHEN c_custkey % 7 = 0 THEN '' ELSE upper(c_name) END AS name,
+         CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE n_name END AS nat,
+         CASE WHEN c_custkey % 9 = 0 THEN bal_s ELSE bal_s || '7' END AS bal,
+         CASE WHEN c_custkey % 4 = 0 THEN substr(c_mktsegment, 1, 1)
+              ELSE c_mktsegment END AS seg
+  FROM _r
+),
+_p AS (
+  SELECT id AS id1, id AS id2 FROM _a
+  UNION ALL
+  SELECT a1.id, a2.id FROM _a a1 JOIN _a a2 ON a2.id = a1.id + 1
+),
+_j AS (
+  SELECT p.id1, p.id2,
+         {", ".join(f"a.{f} AS a_{f}, b.{f} AS b_{f}" for f in _ENT_FIELDS)}
+  FROM _p p JOIN _a a ON a.id = p.id1 JOIN _b b ON b.id = p.id2
+),
+_s AS (
+  SELECT id1, id2, {", ".join(sims)},
+         {" + ".join(commons)} AS n_common,
+         {" + ".join(pa)} AS n_pop_a,
+         {" + ".join(pb)} AS n_pop_b
+  FROM _j
+),
+_v AS (
+  SELECT id1, id2, n_common,
+         {", ".join(f"sim_{f}" for f in _ENT_FIELDS)},
+         round(CASE WHEN n_common > 0 THEN ({total}) / n_common END, 9)
+           AS avg_sim,
+         {thr} AS threshold,
+         (n_common > 0 AND n_pop_a = n_common AND n_pop_b = n_common
+          AND {" AND ".join(exact_terms)}) AS is_exact
+  FROM _s
+),
+_c AS (
+  SELECT id1, id2, n_common,
+         {", ".join(f"round(sim_{f}, 6) AS sim_{f}" for f in _ENT_FIELDS)},
+         round(avg_sim, 6) AS avg_sim, threshold, is_exact,
+         CASE WHEN avg_sim >= threshold THEN 'pass' ELSE 'fail' END AS status,
+         CASE WHEN is_exact THEN 'true_duplicate'
+              WHEN avg_sim >= 0.9 THEN 'near-exact duplicate'
+              WHEN avg_sim >= 0.7 THEN 'similar entity'
+              ELSE 'conflicting entry' END AS dup_type
+  FROM _v
+)
+SELECT * FROM _c
+WHERE n_common > 0 AND NOT (status = 'fail' AND n_common >= 3)
+"""
+
+
+@register("entity_verify_pairs", _entity_oracle_sql())
+def entity_verify_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6-P8/C1-C3 end-to-end through operators/entity.verify_entity_pairs
+    — per-field lowercased Levenshtein similarity, acronym boost to 0.95,
+    adaptive threshold by common-field count, exactness, taxonomy, and
+    filter-mode drops — over the deterministic customer-linkage twin
+    tables described above (the one SURVEY operator family that was
+    pytest-only before r05)."""
+    from entity_deduplication_hack_main_spark.operators import (
+        entity as entity_op,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rec = cust.join(
+        F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"]
+    ).select(
+        "c_custkey",
+        "c_name",
+        "n_name",
+        F.round("c_acctbal").cast("bigint").cast("string").alias("bal_s"),
+        "c_mktsegment",
+    )
+    k = F.col("c_custkey")
+    a = rec.select(
+        k.alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("n_name").alias("nat"),
+        F.col("bal_s").alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    b = rec.select(
+        k.alias("id"),
+        F.when(k % 7 == 0, F.lit("")).otherwise(F.upper("c_name")).alias("name"),
+        F.when(k % 5 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("n_name"))
+        .alias("nat"),
+        F.when(k % 9 == 0, F.col("bal_s"))
+        .otherwise(F.concat(F.col("bal_s"), F.lit("7")))
+        .alias("bal"),
+        F.when(k % 4 == 0, F.substring("c_mktsegment", 1, 1))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+    )
+    ids = a.select(F.col("id"))
+    pairs = ids.select(
+        F.col("id").alias("id1"), F.col("id").alias("id2")
+    ).unionByName(
+        ids.select(F.col("id").alias("id1"), (F.col("id") + 1).alias("id2"))
+        .join(ids.select(F.col("id").alias("id2")), "id2", "left_semi")
+    )
+    out = entity_op.verify_entity_pairs(
+        pairs, a, b, _ENT_FIELDS, filter_mode=True
+    )
+    return out.select(
+        "id1",
+        "id2",
+        "n_common",
+        *[F.round(f"sim_{f}", 6).alias(f"sim_{f}") for f in _ENT_FIELDS],
+        F.round("avg_sim", 6).alias("avg_sim"),
+        "threshold",
+        "is_exact",
+        "status",
+        "dup_type",
     )
 
 

@@ -70,6 +70,26 @@ def acronym_boosted_sim(sim: Column, a: Column, b: Column) -> Column:
     return F.when(acronym_match(a, b), F.greatest(sim, F.lit(0.95))).otherwise(sim)
 
 
+def sql_acronym(x: str) -> str:
+    """DuckDB rendering of :func:`acronym`. RE2's ``\\W`` is ASCII where
+    Java's ``(?U)\\W`` is Unicode — identical on ASCII record fields (the
+    oracle tables), diverging only on non-ASCII word characters;
+    array_to_string of an empty list is NULL in DuckDB, coalesced."""
+    toks = f"list_filter(regexp_split_to_array({x}, '\\W+'), w -> w != '')"
+    return (
+        f"upper(coalesce(array_to_string("
+        f"list_transform({toks}, w -> w[1]), ''), ''))"
+    )
+
+
+def sql_acronym_match(a: str, b: str) -> str:
+    """DuckDB rendering of :func:`acronym_match`."""
+    return (
+        f"({sql_acronym(a)} = upper(replace({b}, ' ', '')) OR "
+        f"{sql_acronym(b)} = upper(replace({a}, ' ', '')))"
+    )
+
+
 def adaptive_threshold(n_fields: Column) -> Column:
     """similarity_utils.py:49-54 literal_based_threshold as a CASE chain."""
     return (

@@ -93,6 +93,55 @@ def quality_score(text: Column) -> Column:
     return F.round(rep * (1.0 - pr) * len_ok, 6)
 
 
+# --- token-array variants: ONE tokenize per row --------------------------
+# Catalyst's common-subexpression elimination does not reliably merge the
+# normalize+tokenize subtree across sibling Project expressions, so the
+# text-Column helpers above re-evaluate it once per stat — up to ~7x per
+# row in the quality/language queries (r04 verdict #7). Consumers should
+# materialize `tokens_col(text)` once (withColumn) and feed the *_from
+# variants; the *_from lambdas close over a plain column REFERENCE, which
+# higher-order functions evaluate once (never a computed subtree — the
+# round-1 O(n^2) lambda pitfall).
+
+
+def tokens_col(text: Column) -> Column:
+    """The normalized token array — materialize once per row."""
+    return textnorm.tokens(textnorm.normalize(text))
+
+
+def stopword_ratio_from(toks: Column, lang: str = "en") -> Column:
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    n = F.size(toks)
+    return F.when(n > 0, hits / n).otherwise(F.lit(0.0))
+
+
+def lang_scores_from(toks: Column) -> Column:
+    return F.struct(
+        *[stopword_ratio_from(toks, lg).alias(lg) for lg in STOPWORDS]
+    )
+
+
+def mean_token_len_from(toks: Column) -> Column:
+    total = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score_from(toks: Column, text: Column) -> Column:
+    """:func:`quality_score` from a materialized token array (punctuation
+    ratio still reads the raw text — it is character-level)."""
+    tc = F.size(toks)
+    rep = F.when(
+        tc > 0, F.size(F.array_distinct(toks)) / tc
+    ).otherwise(F.lit(0.0))
+    pr = punct_ratio(text)
+    mtl = mean_token_len_from(toks)
+    len_ok = F.when((mtl >= 2) & (mtl <= 12), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round(rep * (1.0 - pr) * len_ok, 6)
+
+
 def fingerprint(text: Column) -> Column:
     """Normalized-content fingerprint: md5 of normalized text — the
     boilerplate-insensitive exact-dup key."""

@@ -342,6 +342,79 @@ def ivf_anchors(dim: int, n_cells: int = 16, seed: int = 69) -> np.ndarray:
     return a
 
 
+def train_ivf_anchors(
+    corpus: DataFrame,
+    dim: int,
+    n_cells: int = 16,
+    sample_limit: int = 100_000,
+    iters: int = 10,
+    seed: int = 69,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """(n_cells, dim) unit anchors from spherical k-means on a bounded,
+    DETERMINISTIC sample — the trained coarse quantizer a production IVF
+    deployment uses (r04 missing #1; the seeded data-free
+    :func:`ivf_anchors` stays as the oracle variant, because a trained
+    quantizer embeds data-dependent literals the driver's oracle contract
+    forbids).
+
+    Sampling mirrors the learned-classifier fit (operators/learned.py):
+    hash-ordered `orderBy(xxhash64(id))` before the limit, so the sample
+    — and therefore the centroids — are identical across partition
+    layouts and cluster sizes. The driver matrix is bounded at
+    sample_limit × dim doubles (100k × 128 ≈ 100 MB); assignment of the
+    FULL corpus stays a JVM expression in :func:`ivf_knn`.
+
+    Lloyd iterations with cosine assignment: vectors and centroids unit-
+    normalized, init is a seeded sample pick, an empty cell re-seeds to
+    the sample point worst-covered by the surviving centroids (farthest-
+    point heuristic, deterministic)."""
+    rows = (
+        corpus.select(F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col(id_col).cast("string")))
+        .limit(sample_limit)
+        .collect()
+    )
+    x = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    x = x / np.where(norms == 0, 1.0, norms)
+    rng = np.random.default_rng([seed, 4245])
+    c = x[rng.choice(len(x), size=n_cells, replace=False)].copy()
+    for _ in range(iters):
+        sims = x @ c.T                       # (n, k) cosine
+        assign = np.argmax(sims, axis=1)
+        for j in range(n_cells):
+            members = x[assign == j]
+            if len(members) == 0:
+                # re-seed dead cell at the worst-covered sample point
+                c[j] = x[np.argmin(np.max(sims, axis=1))]
+            else:
+                m = members.sum(axis=0)
+                n = np.linalg.norm(m)
+                c[j] = m / (n if n > 0 else 1.0)
+    return c
+
+
+def ivf_cell_sizes(
+    corpus: DataFrame,
+    anchors: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cell, n): inverted-file occupancy under the given quantizer — the
+    skew report for capacity planning (a hot cell bounds the candidate
+    fan-out exactly like a hot LSH bucket)."""
+    cv = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("cv"))
+    return (
+        cv.withColumn(
+            "cell", F.array_max(F.array(*_ivf_cell_scores("cv", anchors)))["i"]
+        )
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def _ivf_cell_scores(vec_col: str, anchors: np.ndarray) -> list:
     """Per-anchor (rounded dot, anchor index) structs — rounding to 6
     decimals before the argmax makes the cell assignment robust to the
@@ -370,6 +443,7 @@ def ivf_knn(
     seed: int = 69,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    anchors: np.ndarray | None = None,
 ) -> DataFrame:
     """(probe_id, neighbor_id, cosine, rank): IVF approximate top-k —
     the inverted-file ANN structure next to the hyperplane-LSH path.
@@ -381,11 +455,15 @@ def ivf_knn(
     at nprobe == n_cells the output EQUALS brute force (pytest-gated).
     Scale shape: assignment is a pure JVM expression (no shuffle), the
     candidate join is keyed on cell — expected fan-out n/n_cells per
-    probe, the same bucket-bounded pattern as every other channel. Cell
-    skew (anchors are untrained) is bounded by the dot-argmax geometry;
-    a trained quantizer drops in by replacing :func:`ivf_anchors`.
-    """
-    anchors = ivf_anchors(dim, n_cells, seed)
+    probe, the same bucket-bounded pattern as every other channel.
+
+    ``anchors``: pass :func:`train_ivf_anchors` output for the trained
+    quantizer (tighter cells, higher recall at equal nprobe — the
+    production path); default is the seeded data-free quantizer of
+    :func:`ivf_anchors`, kept as the oracle variant."""
+    if anchors is None:
+        anchors = ivf_anchors(dim, n_cells, seed)
+    n_cells = len(anchors)
     cv = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     )
@@ -447,7 +525,13 @@ def sql_ivf_knn(
 ) -> str:
     """DuckDB SELECT matching :func:`ivf_knn` — the IDENTICAL algorithm
     (not brute force): same literal anchors, same rounded-dot argmax with
-    the same tie-break, same nprobe window, same exact-cosine rank."""
+    the same tie-break, same nprobe window, same exact-cosine rank.
+
+    ``probe_filter`` is written against ``id_col`` and evaluated on a
+    projection that re-exposes the id under that name — no string
+    rewriting of the filter (r04 advice #2: the old
+    ``replace(id_col, 'vid')`` corrupted any filter embedding the id
+    substring in another identifier or literal)."""
     anchors = ivf_anchors(dim, n_cells, seed)
     rows = ", ".join(
         "({}, [{}]::DOUBLE[])".format(
@@ -469,8 +553,9 @@ _rk AS (
 ),
 _cells  AS (SELECT vid, v, ai AS cell FROM _rk WHERE rn = 1),
 _pcells AS (
-  SELECT vid, v, ai AS cell FROM _rk
-  WHERE rn <= {min(nprobe, n_cells)} AND {probe_filter.replace(id_col, 'vid')}
+  SELECT vid, v, ai AS cell
+  FROM {"_rk" if id_col == "vid" else f"(SELECT _rk.*, vid AS {id_col} FROM _rk)"}
+  WHERE rn <= {min(nprobe, n_cells)} AND ({probe_filter})
 ),
 _cand AS (
   SELECT p.vid AS probe_id, c.vid AS neighbor_id,

@@ -19,7 +19,13 @@ Per micro-batch (`foreachBatch`), with `near_dup=True` (default):
    2-token-edit near-exact inside one batch survived streaming but not
    batch), then connected components; only each component's min-id
    representative survives;
-3. *against the corpus*, one join per channel:
+3. *against the corpus*, one join per channel — every channel's decision
+   threshold is ``jaccard_candidate``, the SAME value the in-batch /
+   batch-pipeline edge rule passes at (``verify_pairs_full`` status), so a
+   pair reaches the identical verdict whether it arrives in one batch or
+   split across two (r04 advice #5 — corpus channels previously decided
+   at ``jaccard_similar``, so an exact-J-0.6 pair deduped in-batch but
+   survived cross-batch):
    - MinHash: the batch's band hashes join the committed band index
      (bounded: bands×docs rows, no signatures re-read); candidates are
      scored by MinHash signature agreement (the unbiased Jaccard
@@ -39,6 +45,33 @@ Per micro-batch (`foreachBatch`), with `near_dup=True` (default):
      cap as the batch channel); pairs sharing >= 2 fingerprints fetch the
      committed text and drop on EXACT jaccard >= threshold OR containment
      >= containment_threshold (the batch edge rule's containment leg);
+
+Per-batch cost vs the committed corpus (r04 verdict #3): the three index
+tables are written with a ``kb`` key-bucket column (hash of the join key
+mod :data:`N_KEY_BUCKETS`), range-clustered within each batch partition,
+and every corpus-side read pushes ``In(kb, <batch's buckets>)`` into the
+parquet scan — file/row-group skipping over plain parquet, no metastore
+bucketing, and legacy (pre-``kb``) files surface kb NULL and are read in
+full. After the pruned scan, the committed side is LEFT-SEMI-reduced by a
+broadcast of the batch's distinct keys BEFORE any window/aggregate, so the
+per-key df caps (winnow boilerplate, SimHash degenerate buckets) count the
+matched subset only — identical counts (key equality keeps whole key
+groups) without the full-index window shuffle a growing corpus cannot
+afford. The one remaining O(corpus) term is the `_index` SCAN (one narrow
+row per committed doc, for signatures + simhashes); it is never shuffled —
+signature lookups broadcast-semi-reduce by candidate ids. See SCALE.md
+for the cost model.
+
+Span-cut compaction (batch recipe): the exact-substring span pass is
+corpus-GLOBAL (a gram index must see every committed doc), so streamed
+docs are never span-cut inside a micro-batch. The production pattern is
+:func:`span_cut_compaction` run as a periodic committed batch job (e.g.
+daily): read the streamed `deduped` table, run
+``substring_spans_exact`` + ``cut_spans_raw`` over the whole committed
+corpus, overwrite `deduped_cut`. Idempotent (pure derived output); the
+streaming indexes are untouched, so ingest keeps deduping against the
+UNCUT corpus — span cutting changes training payloads, never dedup
+identity.
 4. survivors append to the output plus three index tables — `_index`
    (id, fp, signature, simhash), `_band_index` (id, band_id, band_hash)
    and `_winnow_index` (id, wfp) — and one `_streaming_lineage` row
@@ -90,17 +123,31 @@ from entity_deduplication_hack_main_spark.operators import verify as verify_op
 from entity_deduplication_hack_main_spark.plans import fsutil
 
 
+#: key buckets for the prunable index layout — the batch's distinct kb set
+#: is collected to the driver (bounded by this constant) and pushed into
+#: the committed-side parquet scans as an In() filter
+N_KEY_BUCKETS = 256
+
+
+def _kb(col) -> "F.Column":
+    """Key bucket of a join key — MUST match between index writes and the
+    batch-side kb computation or pruning silently drops committed rows."""
+    return F.pmod(F.xxhash64(col), F.lit(N_KEY_BUCKETS)).cast("int")
+
+
 def est_margin(config: DedupConfig) -> float:
     """Half-width of the estimate band that triggers exact re-verification:
     ±2.5σ of the num_perms-sample agreement estimator at J = threshold,
-    2.5·sqrt(t(1−t)/num_perms). At the production config (t=0.7, 128
-    perms) this is ≈ 0.10 — the value that used to be hardcoded; at the
-    32-perm test config σ more than doubles, so a fixed 0.1 would have
-    been only ±1.25σ and batch/streaming borderline disagreement far more
-    likely than the documented <1% tail (r03 advice)."""
+    2.5·sqrt(t(1−t)/num_perms). The threshold is ``jaccard_candidate`` —
+    the edge-rule pass mark shared with the batch pipeline (r04 advice
+    #5). At the production config (t=0.5, 128 perms) this is ≈ 0.11; at
+    the 32-perm test config σ more than doubles (±0.22), so a fixed 0.1
+    would have been under 1.25σ and batch/streaming borderline
+    disagreement far more likely than the documented <1% tail (r03
+    advice)."""
     import math
 
-    t = float(config.jaccard_similar)
+    t = float(config.jaccard_candidate)
     return 2.5 * math.sqrt(t * (1.0 - t) / config.num_perms)
 
 
@@ -134,41 +181,89 @@ class StreamingDedup:
     # --- committed state -------------------------------------------------
 
     def _read_or_empty(self, path: str, schema: str) -> DataFrame:
+        """Read with the EXPECTED schema enforced — a workdir committed by
+        an older code version (fewer index columns, no ``kb``) then
+        resumed after an upgrade must surface the missing columns as NULL,
+        not raise AnalysisException or depend on which parquet footer
+        Spark samples for schema inference (r04 advice #1). Every null a
+        legacy row surfaces is tolerated downstream: null simhash blocks
+        explode to nothing, null signatures never cross the estimate band,
+        null kb rows are exempt from pruning."""
         if fsutil.exists(self.spark, path):
-            return self.spark.read.parquet(path)
+            return self.spark.read.schema(schema).parquet(path)
         return self.spark.createDataFrame([], schema)
 
-    def _index(self, exclude_batch: int, id_type: str = "string") -> DataFrame:
+    @staticmethod
+    def _kb_prune(df: DataFrame, kbs: list[int] | None) -> DataFrame:
+        """Push the batch's key-bucket set into the scan. kb NULL (legacy
+        unbucketed files) always survives — correct, just unpruned."""
+        if kbs is None:
+            return df
+        cond = F.col("kb").isNull()
+        if kbs:
+            cond = cond | F.col("kb").isin(kbs)
+        return df.where(cond)
+
+    @staticmethod
+    def _batch_kbs(df: DataFrame, key_col) -> list[int]:
+        """Distinct key buckets in the batch — a driver collect bounded by
+        N_KEY_BUCKETS values, never by data size."""
+        return [
+            r[0] for r in df.select(_kb(key_col).alias("kb")).distinct().collect()
+        ]
+
+    def _index(
+        self,
+        exclude_batch: int,
+        id_type: str = "string",
+        kbs: list[int] | None = None,
+    ) -> DataFrame:
         sig = (
             ", signature array<bigint>, simhash bigint"
             if self.near_dup
             else ""
         )
         df = self._read_or_empty(
-            self.index_path, f"id {id_type}, fp string{sig}, batch_id bigint"
+            self.index_path,
+            f"id {id_type}, fp string{sig}, kb int, batch_id bigint",
         )
-        return df.where(F.col("batch_id") != F.lit(exclude_batch))
+        return self._kb_prune(
+            df.where(F.col("batch_id") != F.lit(exclude_batch)), kbs
+        )
 
     def _winnow_index(
-        self, exclude_batch: int, id_type: str = "string"
+        self,
+        exclude_batch: int,
+        id_type: str = "string",
+        kbs: list[int] | None = None,
     ) -> DataFrame:
         # one row per winnow fingerprint per committed doc — density is
         # ~2/(w+1) of shingle positions (~4% of tokens), the same bounded
         # state class as the band index
         df = self._read_or_empty(
-            self.winnow_path, f"id {id_type}, wfp bigint, batch_id bigint"
+            self.winnow_path, f"id {id_type}, wfp bigint, kb int, batch_id bigint"
         )
-        return df.where(F.col("batch_id") != F.lit(exclude_batch))
+        return self._kb_prune(
+            df.where(F.col("batch_id") != F.lit(exclude_batch)), kbs
+        )
 
-    def _band_index(self, exclude_batch: int, id_type: str = "string") -> DataFrame:
+    def _band_index(
+        self,
+        exclude_batch: int,
+        id_type: str = "string",
+        kbs: list[int] | None = None,
+    ) -> DataFrame:
         # bigint band keys (xxhash64) — the persisted index grows one row
         # per band per committed doc forever, so the 8-byte key vs a
         # 32-char md5 string is a 2.5x standing size difference
         df = self._read_or_empty(
             self.band_path,
-            f"id {id_type}, band_id int, band_hash bigint, batch_id bigint",
+            f"id {id_type}, band_id int, band_hash bigint, kb int, "
+            "batch_id bigint",
         )
-        return df.where(F.col("batch_id") != F.lit(exclude_batch))
+        return self._kb_prune(
+            df.where(F.col("batch_id") != F.lit(exclude_batch)), kbs
+        )
 
     def _overwrite_partition(self, df: DataFrame, path: str, batch_id: int):
         (
@@ -177,6 +272,22 @@ class StreamingDedup:
             .partitionBy("batch_id")
             .mode("overwrite")
             .parquet(path)
+        )
+
+    def _write_index(
+        self, df: DataFrame, path: str, batch_id: int, key_col
+    ) -> None:
+        """Index write in the prunable layout: kb = key bucket of the join
+        key, RANGE-clustered across the batch's files and sorted within
+        them, so parquet min/max stats make the read-side In(kb) filter
+        skip whole files/row groups. One extra narrow shuffle per index
+        write — the price of never re-scanning the full committed index
+        per micro-batch."""
+        out = df.withColumn("kb", _kb(key_col))
+        self._overwrite_partition(
+            out.repartitionByRange("kb").sortWithinPartitions("kb"),
+            path,
+            batch_id,
         )
 
     # --- the micro-batch body ---------------------------------------------
@@ -197,22 +308,30 @@ class StreamingDedup:
             .where(F.col("_rn") == 1)
             .drop("_rn")
         )
-        prior = self._index(exclude_batch=batch_id, id_type=id_type)
+        # fp anti-join reads only the batch's key buckets of the committed
+        # index (kb pruning); the full one-row-per-doc index is read
+        # separately (prior_full) for signature/simhash lookups
+        kbs_fp = self._batch_kbs(first, F.col("fp"))
+        prior_fps = self._index(
+            exclude_batch=batch_id, id_type=id_type, kbs=kbs_fp
+        ).select("fp")
         # localCheckpoint, not cache: fresh's lineage reads index_path,
         # which this batch later overwrites — truncate it (module docstring)
         fresh = first.join(
-            prior.select("fp").distinct(), "fp", "left_anti"
+            prior_fps.distinct(), "fp", "left_anti"
         ).localCheckpoint(eager=True)
 
         if not self.near_dup:
             self._overwrite_partition(fresh.drop("fp"), self.out_path, batch_id)
-            self._overwrite_partition(
+            self._write_index(
                 fresh.select(F.col(self.id_col).alias("id"), "fp"),
                 self.index_path,
                 batch_id,
+                F.col("fp"),
             )
             fresh.unpersist()
             return
+        prior_full = self._index(exclude_batch=batch_id, id_type=id_type)
 
         payload = represent.with_representation(
             fresh, cfg, self.id_col, self.text_col
@@ -249,15 +368,35 @@ class StreamingDedup:
         # against the committed docs' re-shingled text so batch and
         # streaming agree on the same pair (r02 verdict)
         kept_bands = lsh_op.band_hashes(kept, cfg, "signature", "id", "xxhash64")
-        old_bands = self._band_index(
-            exclude_batch=batch_id, id_type=id_type
-        ).select(F.col("id").alias("old_id"), "band_id", "band_hash")
+        kbs_band = self._batch_kbs(kept_bands, F.col("band_hash"))
+        old_bands = (
+            self._band_index(
+                exclude_batch=batch_id, id_type=id_type, kbs=kbs_band
+            )
+            .select(F.col("id").alias("old_id"), "band_id", "band_hash")
+            # broadcast semi-reduce on the batch's band keys: only matching
+            # committed rows ever shuffle into the candidate join
+            .join(
+                F.broadcast(
+                    kept_bands.select("band_id", "band_hash").distinct()
+                ),
+                ["band_id", "band_hash"],
+                "left_semi",
+            )
+        )
         cand = (
             kept_bands.join(old_bands, ["band_id", "band_hash"])
             .select("id", "old_id")
             .distinct()
+            .persist()  # reused: scored AND the old_sigs semi-reduction
         )
-        old_sigs = prior.select(
+        # signature lookup: semi-reduce the one-row-per-doc index by the
+        # (bounded) candidate id set — the index is scanned, never shuffled
+        old_sigs = prior_full.join(
+            F.broadcast(cand.select(F.col("old_id").alias("id")).distinct()),
+            "id",
+            "left_semi",
+        ).select(
             F.col("id").alias("old_id"), F.col("signature").alias("old_sig")
         )
         agree = F.size(
@@ -266,7 +405,9 @@ class StreamingDedup:
                 lambda x: x,
             )
         ) / F.lit(cfg.num_perms)
-        t = float(cfg.jaccard_similar)
+        # decision threshold = the batch edge rule's pass mark (advice #5:
+        # cross-batch and in-batch verdicts must agree on the same pair)
+        t = float(cfg.jaccard_candidate)
         scored = (
             cand.join(kept.select("id", "signature", "shingle_set"), "id")
             .join(old_sigs, "old_id")
@@ -294,7 +435,7 @@ class StreamingDedup:
         # channel (hamming.hamming_candidate_pairs)
         from pyspark.sql import Window as W
 
-        old_sim = prior.select(
+        old_sim = prior_full.select(
             F.col("id").alias("old_id"), F.col("simhash").alias("old_sh")
         )
         new_blocks = kept.select(
@@ -304,6 +445,11 @@ class StreamingDedup:
                 shash.simhash_blocks(F.col("simhash"), cfg, nbits)
             ).alias("b"),
         ).select("id", "simhash", "b.block_id", "b.block_key")
+        # broadcast semi-reduce on the batch's block keys BEFORE the
+        # degenerate-bucket count: the count per (block_id, block_key) is
+        # identical on the matched subset (key equality keeps whole key
+        # groups), but the window no longer shuffles the entire committed
+        # corpus every micro-batch (r04 advice #3)
         old_blocks = (
             old_sim.select(
                 "old_id",
@@ -313,6 +459,13 @@ class StreamingDedup:
                 ).alias("b"),
             )
             .select("old_id", "old_sh", "b.block_id", "b.block_key")
+            .join(
+                F.broadcast(
+                    new_blocks.select("block_id", "block_key").distinct()
+                ),
+                ["block_id", "block_key"],
+                "left_semi",
+            )
             .withColumn(
                 "_n", F.count("*").over(W.partitionBy("block_id", "block_key"))
             )
@@ -334,13 +487,24 @@ class StreamingDedup:
         # drop on EXACT jaccard or containment — the batch edge rule's
         # containment leg, which the estimate channels cannot see
         # (containment-dups sit below the symmetric-Jaccard threshold)
+        new_fps = kept.select("id", F.explode("winnow_fps").alias("wfp"))
+        kbs_w = self._batch_kbs(new_fps, F.col("wfp"))
+        # pruned scan + broadcast semi-reduce on the batch's fps, THEN the
+        # boilerplate df count on the matched subset — exact per matched
+        # key, and the committed index is never re-windowed whole
         old_fps = (
-            self._winnow_index(exclude_batch=batch_id, id_type=id_type)
+            self._winnow_index(
+                exclude_batch=batch_id, id_type=id_type, kbs=kbs_w
+            )
             .select(F.col("id").alias("old_id"), "wfp")
+            .join(
+                F.broadcast(new_fps.select("wfp").distinct()),
+                "wfp",
+                "left_semi",
+            )
             .withColumn("_df", F.count("*").over(W.partitionBy("wfp")))
             .where(F.col("_df") <= cfg.winnow_max_df)  # boilerplate cap
         )
-        new_fps = kept.select("id", F.explode("winnow_fps").alias("wfp"))
         wn_cand = (
             new_fps.join(old_fps.select("old_id", "wfp"), "wfp")
             .groupBy("id", "old_id")
@@ -380,24 +544,27 @@ class StreamingDedup:
             survivors.withColumnRenamed("id", self.id_col), self.id_col, "left_semi"
         )
         self._overwrite_partition(out_rows.drop("fp"), self.out_path, batch_id)
-        self._overwrite_partition(
+        self._write_index(
             kept.join(survivors, "id", "left_semi").select(
                 "id", "fp", "signature", "simhash"
             ),
             self.index_path,
             batch_id,
+            F.col("fp"),
         )
-        self._overwrite_partition(
+        self._write_index(
             kept_bands.join(survivors, "id", "left_semi"),
             self.band_path,
             batch_id,
+            F.col("band_hash"),
         )
-        self._overwrite_partition(
+        self._write_index(
             kept.join(survivors, "id", "left_semi").select(
                 "id", F.explode("winnow_fps").alias("wfp")
             ),
             self.winnow_path,
             batch_id,
+            F.col("wfp"),
         )
 
         # --- per-batch decision counts into the lineage table ------------
@@ -431,7 +598,9 @@ class StreamingDedup:
             self.lineage_path,
             batch_id,
         )
-        for df in (payload, kept, scored, bl_meas, sh_drop, wn_cand, wn_drop):
+        for df in (
+            payload, kept, cand, scored, bl_meas, sh_drop, wn_cand, wn_drop
+        ):
             df.unpersist()
 
     def _exact_pair_measures(
@@ -473,6 +642,41 @@ class StreamingDedup:
             .withColumn("ex_containment", containment)
             .select(*keep_cols, "ex_jaccard", "ex_containment")
         )
+
+    def span_cut_compaction(
+        self, span_k: int = 20, max_df: int | None = None
+    ) -> DataFrame:
+        """Periodic batch compaction: the corpus-global exact-substring
+        span pass + raw-byte cutting over the STREAMED output table (r04
+        verdict #8 — module docstring, "Span-cut compaction").
+
+        Reads every committed `deduped` row, runs
+        :func:`operators.suffix.substring_spans_exact` (the gram pass must
+        see the whole corpus — spans between docs committed by DIFFERENT
+        batches are exactly what streaming cannot cut per-batch), cuts
+        with :func:`operators.suffix.cut_spans_raw`, and overwrites
+        ``<workdir>/deduped_cut``. Pure derived output — idempotent,
+        indexes untouched, dedup identity unaffected; schedule it like any
+        committed batch stage (daily / per-N-batches).
+
+        Returns the cut table re-read from disk."""
+        cut_path = os.path.join(self.workdir, "deduped_cut")
+        docs = self.spark.read.parquet(self.out_path).select(
+            self.id_col, self.text_col
+        )
+        spans = suffix_op.substring_spans_exact(
+            docs,
+            self.config,
+            span_k=span_k,
+            max_df=max_df,
+            id_col=self.id_col,
+            text_col=self.text_col,
+        )
+        cut = suffix_op.cut_spans_raw(
+            docs, spans, id_col=self.id_col, text_col=self.text_col
+        ).withColumnRenamed("id", self.id_col)
+        cut.write.mode("overwrite").parquet(cut_path)
+        return self.spark.read.parquet(cut_path)
 
     def start(self, source_dir: str, schema: str, trigger_once: bool = True):
         stream = (

@@ -164,23 +164,27 @@ def test_streaming_exact_dedup_across_batches(spark, tmp_path):
 def test_streaming_borderline_estimate_reverified_exactly(spark, tmp_path):
     """r02 verdict #3: corpus-side near-dup used the raw MinHash estimate,
     so a pair whose estimate crosses the threshold while exact Jaccard
-    does not was wrongly dropped. With 32 perms and these docs the
-    estimate is 0.750 (>= 0.7) but exact J = 0.657 (< 0.7): the doc must
-    now SURVIVE (estimate is borderline -> exact re-verify against the
-    committed text decides). The m=10 variant has exact J = 0.706 and must
-    still be dropped."""
+    does not was wrongly dropped. The threshold is jaccard_candidate (the
+    batch edge rule's pass mark — r04 advice #5); with 32 perms the
+    ±2.5σ borderline band is [0.279, 0.721]. Both variants are planted to
+    genuinely BAND-COLLIDE with the committed base doc (probed: a variant
+    with no shared band never reaches the estimate at all). uKeep (18
+    replaced tokens at offset 9): estimate 0.594 (>= 0.5 says drop) but
+    exact J = 0.487 (< 0.5) — must SURVIVE. uDrop (17 replaced at offset
+    0): estimate 0.625 borderline, exact J = 0.547 — dropped."""
     wd = str(tmp_path / "wd")
     schema = "url string, warc_ts timestamp, text string"
     base = [f"tok{i}" for i in range(60)]
-    mk = lambda m: " ".join(base[:-m] + [f"new{i}" for i in range(m)])
+    keep_txt = " ".join(base[:9] + [f"new{i}" for i in range(18)] + base[27:])
+    drop_txt = " ".join([f"alt{i}" for i in range(17)] + base[17:])
     sd = StreamingDedup(spark, wd, config=_sd_config())
     sd.process_batch(
         spark.createDataFrame([("uA", None, " ".join(base))], schema), 0
     )
-    # estimate 0.750 over threshold, exact 0.657 under -> keep
-    sd.process_batch(spark.createDataFrame([("uKeep", None, mk(12))], schema), 1)
-    # estimate 0.719 borderline, exact 0.706 over threshold -> drop
-    sd.process_batch(spark.createDataFrame([("uDrop", None, mk(10))], schema), 2)
+    # estimate 0.594 says drop, exact 0.487 under threshold -> keep
+    sd.process_batch(spark.createDataFrame([("uKeep", None, keep_txt)], schema), 1)
+    # estimate 0.625 borderline, exact 0.547 over threshold -> drop
+    sd.process_batch(spark.createDataFrame([("uDrop", None, drop_txt)], schema), 2)
     urls = {r["url"] for r in spark.read.parquet(sd.out_path).collect()}
     assert urls == {"uA", "uKeep"}, urls
 
@@ -268,15 +272,16 @@ def test_streaming_lineage_counts_borderline_flips(spark, tmp_path):
     wd = str(tmp_path / "wd")
     schema = "url string, warc_ts timestamp, text string"
     base = [f"tok{i}" for i in range(60)]
-    mk = lambda m: " ".join(base[:-m] + [f"new{i}" for i in range(m)])
+    keep_txt = " ".join(base[:9] + [f"new{i}" for i in range(18)] + base[27:])
+    drop_txt = " ".join([f"alt{i}" for i in range(17)] + base[17:])
     sd = StreamingDedup(spark, wd, config=_sd_config())
     sd.process_batch(
         spark.createDataFrame([("uA", None, " ".join(base))], schema), 0
     )
-    # estimate 0.750 >= t says drop, exact 0.657 < t says keep -> flipped
-    sd.process_batch(spark.createDataFrame([("uKeep", None, mk(12))], schema), 1)
-    # estimate 0.719 says drop, exact 0.706 >= t agrees -> not flipped
-    sd.process_batch(spark.createDataFrame([("uDrop", None, mk(10))], schema), 2)
+    # estimate 0.594 >= t says drop, exact 0.487 < t says keep -> flipped
+    sd.process_batch(spark.createDataFrame([("uKeep", None, keep_txt)], schema), 1)
+    # estimate 0.625 says drop, exact 0.547 >= t agrees -> not flipped
+    sd.process_batch(spark.createDataFrame([("uDrop", None, drop_txt)], schema), 2)
     lin = {
         r["batch_id"]: r
         for r in spark.read.parquet(sd.lineage_path).collect()
@@ -289,6 +294,121 @@ def test_streaming_lineage_counts_borderline_flips(spark, tmp_path):
     assert lin[2]["mh_borderline_drop"] == 1
     assert lin[2]["mh_borderline_flipped"] == 0
     assert lin[2]["n_survivors"] == 0
+
+
+def test_streaming_resume_after_schema_upgrade(spark, tmp_path):
+    """r04 advice #1 (medium): a workdir committed by the pre-simhash /
+    pre-kb code version must resume without AnalysisException — index
+    reads enforce the EXPECTED schema, so legacy rows surface the missing
+    columns (signature, simhash, kb) as NULL. Legacy docs still dedup via
+    the channels their columns support (exact fp anti-join); their null
+    signatures/simhashes make them invisible to the estimate channels —
+    kept, never corrupted."""
+    from entity_deduplication_hack_main_spark.functions import textstats
+
+    wd = str(tmp_path / "wd")
+    schema = "url string, warc_ts timestamp, text string"
+    legacy = spark.createDataFrame([("u1", None, _BASE)], schema)
+    legacy.withColumn("batch_id", F.lit(0)).write.partitionBy(
+        "batch_id"
+    ).parquet(os.path.join(wd, "deduped"))
+    legacy.select(
+        F.col("url").alias("id"),
+        textstats.fingerprint(F.col("text")).alias("fp"),
+    ).withColumn("batch_id", F.lit(0)).write.partitionBy("batch_id").parquet(
+        os.path.join(wd, "_index")
+    )
+    sd = StreamingDedup(spark, wd, config=_sd_config())
+    b1 = spark.createDataFrame(
+        [
+            ("u2", None, _BASE),  # exact dup of the legacy doc -> dropped
+            ("u3", None, " ".join(f"fresh{i}" for i in range(50))),
+        ],
+        schema,
+    )
+    sd.process_batch(b1, 1)
+    urls = {r["url"] for r in spark.read.parquet(sd.out_path).collect()}
+    assert urls == {"u1", "u3"}, urls
+    # and the upgraded batch wrote the new-layout columns (mergeSchema:
+    # plain schema inference samples one footer, which may be the legacy
+    # file's — exactly why the code path reads with an enforced schema)
+    idx = spark.read.option("mergeSchema", "true").parquet(sd.index_path)
+    assert "kb" in idx.columns and "simhash" in idx.columns
+    new_rows = idx.where(F.col("batch_id") == 1).collect()
+    assert all(r["kb"] is not None for r in new_rows)
+
+
+def test_streaming_index_reads_push_kb_pruning(spark, tmp_path):
+    """r04 verdict #3: committed-index reads push the batch's key-bucket
+    set into the parquet scan (In(kb, ...) with an IsNull escape for
+    legacy files) so a micro-batch reads only matching files/row-groups
+    instead of the whole committed index."""
+    wd = str(tmp_path / "wd")
+    schema = "url string, warc_ts timestamp, text string"
+    sd = StreamingDedup(spark, wd, config=_sd_config())
+    sd.process_batch(
+        spark.createDataFrame(
+            [("u1", None, _BASE),
+             ("u2", None, " ".join(f"zz{i}" for i in range(40)))],
+            schema,
+        ),
+        0,
+    )
+    committed = spark.read.parquet(sd.band_path)
+    assert "kb" in committed.columns
+    all_kbs = [r["kb"] for r in committed.select("kb").distinct().collect()]
+    assert all(k is not None for k in all_kbs)
+    # the pruned read pushes the filter into the scan...
+    pruned = sd._band_index(exclude_batch=99, id_type="string", kbs=all_kbs)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    flat = plan.replace(" ", "")
+    assert "PushedFilters" in plan and "In(kb" in flat, plan
+    # ...keeps every committed row for matching buckets, and drops all
+    # non-legacy rows for disjoint buckets
+    assert pruned.count() == committed.count()
+    miss = [k for k in range(256) if k not in all_kbs][:2]
+    assert sd._band_index(exclude_batch=99, id_type="string", kbs=miss).count() == 0
+
+
+def test_streaming_cross_batch_threshold_matches_in_batch(spark, tmp_path):
+    """r04 advice #5: a pair with exact Jaccard between jaccard_candidate
+    (0.5) and jaccard_similar (0.7) — here J = 0.657 — must reach the SAME
+    verdict whether both docs arrive in one batch or split across two.
+    Pre-alignment, the corpus channel decided at jaccard_similar and the
+    split-arrival pair wrongly survived."""
+    schema = "url string, warc_ts timestamp, text string"
+    base = [f"tok{i}" for i in range(60)]
+    v = " ".join(base[:-12] + [f"new{i}" for i in range(12)])  # exact J 0.657
+    rows = [("u1", None, " ".join(base)), ("u2", None, v)]
+    sd1 = StreamingDedup(spark, str(tmp_path / "wd1"), config=_sd_config())
+    sd1.process_batch(spark.createDataFrame(rows, schema), 0)
+    together = {r["url"] for r in spark.read.parquet(sd1.out_path).collect()}
+    sd2 = StreamingDedup(spark, str(tmp_path / "wd2"), config=_sd_config())
+    sd2.process_batch(spark.createDataFrame(rows[:1], schema), 0)
+    sd2.process_batch(spark.createDataFrame(rows[1:], schema), 1)
+    split = {r["url"] for r in spark.read.parquet(sd2.out_path).collect()}
+    assert together == split == {"u1"}, (together, split)
+
+
+def test_streaming_span_cut_compaction(spark, tmp_path):
+    """r04 verdict #8: docs committed by DIFFERENT batches share a long
+    verbatim run (25 tokens — far below any near-dup threshold, so both
+    survive ingest); the periodic span_cut_compaction job finds the
+    cross-batch span with the corpus-global gram pass and cuts it out of
+    the higher-id doc's RAW text byte-exactly."""
+    schema = "url string, warc_ts timestamp, text string"
+    run = " ".join(f"Shared{i}" for i in range(25))
+    d1 = " ".join(f"aaa{i}" for i in range(80)) + " " + run
+    d2 = run + " " + " ".join(f"bbb{i}" for i in range(80))
+    sd = StreamingDedup(spark, str(tmp_path / "wd"), config=_sd_config())
+    sd.process_batch(spark.createDataFrame([("a_u", None, d1)], schema), 0)
+    sd.process_batch(spark.createDataFrame([("b_u", None, d2)], schema), 1)
+    urls = {r["url"] for r in spark.read.parquet(sd.out_path).collect()}
+    assert urls == {"a_u", "b_u"}  # a 25/105-token overlap is not a dup
+    cut = {r["url"]: r for r in sd.span_cut_compaction(span_k=20).collect()}
+    assert cut["a_u"]["n_cut"] == 0 and cut["a_u"]["text_cut"] == d1
+    assert cut["b_u"]["n_cut"] == 25
+    assert cut["b_u"]["text_cut"] == " ".join(f"bbb{i}" for i in range(80))
 
 
 def test_streaming_bigint_ids_supported(spark, tmp_path):

@@ -199,6 +199,67 @@ def test_learned_threshold_matches_fixed_rule_f1(spark):
     assert f1_learned >= f1_fixed - 1e-9, (f1_learned, f1_fixed)
 
 
+def test_active_learning_uncertainty_beats_random(spark):
+    """r04 missing #2 / verdict #6: pairs_to_label picks the pairs nearest
+    the decision boundary. One labeling round with the same budget must
+    improve held-out F1 at least as much as random selection (uncertainty
+    concentrates labels where the boundary is uncertain), and the
+    selection order must be deterministic."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    j = rng.uniform(0, 1, 1200)
+    rows = [
+        (int(i), int(i + 10_000), float(a), int(a > 0.55))
+        for i, a in enumerate(j)
+    ]
+    pool = spark.createDataFrame(
+        rows, "id1 bigint, id2 bigint, jaccard double, label int"
+    ).cache()
+    seed_ids = [int(x) for x in rng.choice(1200, size=30, replace=False)]
+    budget = 30
+
+    def f1_after(extra_ids):
+        train_ids = set(seed_ids) | set(extra_ids)
+        model = learned.fit_pair_classifier(
+            pool.where(F.col("id1").isin(list(train_ids))), ["jaccard"]
+        )
+        pred = pool.withColumn(
+            "p", learned.classifier_pass(model).cast("int")
+        )
+        tp = pred.where((F.col("p") == 1) & (F.col("label") == 1)).count()
+        fp = pred.where((F.col("p") == 1) & (F.col("label") == 0)).count()
+        fn = pred.where((F.col("p") == 0) & (F.col("label") == 1)).count()
+        return 2 * tp / (2 * tp + fp + fn)
+
+    seed_model = learned.fit_pair_classifier(
+        pool.where(F.col("id1").isin(seed_ids)), ["jaccard"]
+    )
+    unlabeled = pool.where(~F.col("id1").isin(seed_ids))
+    picked = learned.pairs_to_label(seed_model, unlabeled, budget)
+    pick_ids = [r["id1"] for r in picked.select("id1").collect()]
+    assert len(pick_ids) == budget
+    # deterministic queue across partition layouts
+    again = [
+        r["id1"]
+        for r in learned.pairs_to_label(
+            seed_model, unlabeled.repartition(7), budget
+        ).select("id1").collect()
+    ]
+    assert pick_ids == again
+    rand_ids = [
+        int(x)
+        for x in np.random.default_rng(7).choice(
+            [r["id1"] for r in unlabeled.select("id1").collect()],
+            size=budget,
+            replace=False,
+        )
+    ]
+    f1_unc, f1_rand = f1_after(pick_ids), f1_after(rand_ids)
+    assert f1_unc >= f1_rand, (f1_unc, f1_rand)
+    pool.unpersist()
+
+
 def test_learned_fit_deterministic_across_partitionings(spark):
     """r03 verdict #5: the bounded fit sample is hash-ordered, so two fits
     over differently-partitioned copies of the same data produce IDENTICAL
@@ -661,6 +722,58 @@ def test_substring_spans_hot_gram_dropped_pre_aggregation(spark):
     # run is 44 tokens (same result the old post-agg filter produced)
     assert [(r["id1"], r["id2"], r["start1"], r["start2"], r["span_len"])
             for r in out] == [(0, 1, 2, 0, 44)]
+
+
+def test_ivf_trained_quantizer_beats_seeded_recall(spark):
+    """r04 missing #1 / verdict #5: the k-means-trained coarse quantizer.
+    On clustered vectors, recall@5 vs brute force at equal nprobe must be
+    >= the seeded data-free anchors' (cells align with true clusters);
+    the occupancy report must cover every corpus vector; training must be
+    deterministic across partition layouts (hash-ordered sample)."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    dim, n_clu = 16, 8
+    centers = rng.standard_normal((n_clu, dim)) * 3.0
+    rows = [
+        (
+            i,
+            [
+                float(x)
+                for x in centers[i % n_clu] + rng.standard_normal(dim) * 1.5
+            ],
+        )
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    probes = df.where(F.col("vec_id") % 40 == 0)
+    exact = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in knn.brute_force_knn(probes, df, k=5).collect()
+    }
+
+    def recall(anchors):
+        got = {
+            (r["probe_id"], r["neighbor_id"])
+            for r in knn.ivf_knn(
+                probes, df, dim=dim, k=5, n_cells=8, nprobe=2, anchors=anchors
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    seeded = recall(None)
+    trained_anchors = knn.train_ivf_anchors(df, dim=dim, n_cells=8)
+    trained = recall(trained_anchors)
+    sizes = {
+        r["cell"]: r["n"]
+        for r in knn.ivf_cell_sizes(df, trained_anchors).collect()
+    }
+    assert sum(sizes.values()) == 400  # every vector in exactly one cell
+    assert trained >= seeded, (trained, seeded, sizes)
+    assert trained >= 0.8, (trained, sizes)
+    # deterministic across partition layouts
+    again = knn.train_ivf_anchors(df.repartition(7), dim=dim, n_cells=8)
+    assert np.allclose(trained_anchors, again)
 
 
 def test_hyperplane_bands_pass_through_string_ids(spark):

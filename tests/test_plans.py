@@ -152,6 +152,20 @@ def test_cut_spans_raw_decomposition_reconstructs_any_text(spark):
     assert out0["text_cut"] == texts[3] and out0["n_cut"] == 0
 
 
+def test_single_tokenize_per_row_in_text_stat_queries(spark, sf001):
+    """r04 verdict #7: the quality/language/token-stat queries materialize
+    the normalized token array ONCE per row and derive every statistic
+    from it — Catalyst CSE does not merge the normalize+tokenize subtree
+    across sibling expressions, so the old per-stat wrappers ran it up to
+    ~7x per row. The optimized plan must contain exactly one
+    normalize-regexp."""
+    for name in ("quality_scores", "lang_stopword_scores", "token_stats"):
+        q = entry_queries.queries()[name](spark, sf001)
+        plan = _optimized(q)
+        n = plan.count("[^\\p{L}\\p{N}]+")
+        assert n == 1, (name, n, plan)
+
+
 def test_partition_pruning_on_warc_day(spark, tmp_path):
     """north_star: partition pruning on the crawl timestamp. Writing the
     corpus partitioned by days(warc_ts) must let a day filter prune."""
