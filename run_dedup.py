@@ -35,7 +35,10 @@ def main() -> None:
     ap.add_argument("--input", help="parquet/Iceberg path of the documents table")
     ap.add_argument("--synthetic", type=int, default=0,
                     help="generate N synthetic docs instead of --input")
-    ap.add_argument("--output", required=True, help="cluster-assignment sink")
+    ap.add_argument("--output", default=None,
+                    help="cluster-assignment sink (required unless "
+                         "--compact-spans, whose sink is "
+                         "<workdir>/deduped_cut)")
     ap.add_argument("--workdir", default=None, help="stage-commit dir (resume)")
     ap.add_argument("--id-col", default="url")
     ap.add_argument("--text-col", default="text")
@@ -68,6 +71,13 @@ def main() -> None:
                     help="sink for the RAW-byte span-cut corpus (id, "
                          "n_tokens, n_cut, aligned, text_cut); requires "
                          "--span-k. One gram pass feeds both spans and cut.")
+    ap.add_argument("--compact-spans", action="store_true",
+                    help="periodic batch compaction for a STREAMED workdir: "
+                         "run the corpus-global exact-substring span pass + "
+                         "raw-byte cutting over <workdir>/deduped and "
+                         "overwrite <workdir>/deduped_cut (span-k via "
+                         "--span-k, default 20). Requires --workdir; runs "
+                         "instead of the pipeline.")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -90,6 +100,39 @@ def main() -> None:
         )
     elif args.cut_output:
         ap.error("--cut-output requires --span-k")
+
+    if not args.output and not args.compact_spans:
+        ap.error("--output is required (except with --compact-spans)")
+
+    if args.compact_spans:
+        if not args.workdir:
+            ap.error("--compact-spans requires --workdir")
+        from entity_deduplication_hack_main_spark.streaming.ingest import (
+            StreamingDedup,
+        )
+
+        sd = StreamingDedup(
+            spark, args.workdir, config,
+            text_col=args.text_col, id_col=args.id_col,
+        )
+        t0 = time.monotonic()
+        cut = sd.span_cut_compaction(span_k=args.span_k or 20)
+        from pyspark.sql import functions as F
+
+        stats = cut.agg(
+            F.count("*").alias("docs"),
+            F.sum(F.col("n_cut").cast("decimal(38,0)")).alias("cut_tokens"),
+            F.sum((F.col("n_cut") > 0).cast("bigint")).alias("docs_cut"),
+        ).collect()[0]
+        print(json.dumps({
+            "mode": "compact_spans",
+            "docs": stats["docs"],
+            "docs_cut": stats["docs_cut"],
+            "cut_tokens": int(stats["cut_tokens"] or 0),
+            "wall_sec": round(time.monotonic() - t0, 2),
+            "out_path": os.path.join(args.workdir, "deduped_cut"),
+        }))
+        return
 
     if args.streaming_source:
         if not args.workdir:
