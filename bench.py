@@ -159,8 +159,9 @@ def run_pipeline_bench(
 
 def run_queries(
     spark, sf_dir: str, reps: int = 3
-) -> tuple[dict[str, float], dict[str, float]]:
-    """(median wall per query, loadavg at each query's start) — medians
+) -> tuple[dict[str, float], dict[str, float], list[str]]:
+    """(median wall per query, loadavg at each query's start, names whose
+    outlier leg survived the retry budget) — medians
     because host-contention variance on this sandbox is real (BENCH.md),
     per-query loadavg so a reader can adjudicate contention vs regression
     per QUERY, not just per run (r03 verdict #2: the +85%
@@ -171,15 +172,40 @@ def run_queries(
 
     qs = entry_queries.queries()
     out, load = {}, {}
+    contended_queries = []
     for name in BENCH_QUERIES:
         load[name] = round(os.getloadavg()[0], 2)
-        legs = []
-        for _ in range(reps):
+
+        def _leg() -> float:
             t0 = time.monotonic()
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            legs.append(time.monotonic() - t0)
+            qs[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            return time.monotonic() - t0
+
+        legs = [_leg() for _ in range(reps)]
+
+        # Same outlier guard as the pipeline legs (r04 verdict #2): a leg
+        # >1.4x the fastest is either one-time codegen warm-up (knn_ivf's
+        # ~7s Janino compile) or external load — re-run it (bounded at 2)
+        # and keep the replacement only if faster, so the median reports
+        # steady state. A query whose outlier survives the budget is
+        # listed in queries_contended rather than silently reported.
+        def _outlier() -> int | None:
+            worst = max(range(len(legs)), key=lambda i: legs[i])
+            return worst if legs[worst] > 1.4 * min(legs) else None
+
+        for _ in range(2):
+            worst = _outlier()
+            if worst is None or reps < 2:
+                break
+            wall = _leg()
+            if wall < legs[worst]:
+                legs[worst] = wall
+        if reps > 1 and _outlier() is not None:
+            contended_queries.append(name)
         out[name] = round(statistics.median(legs), 3)
-    return out, load
+    return out, load, contended_queries
 
 
 def main() -> None:
@@ -239,7 +265,9 @@ def main() -> None:
                 # understating true N-core vs 4N-core scaling.
                 cmd = ["taskset", "-c", f"0-{n - 1}"] + cmd
             out = subprocess.run(
-                cmd, capture_output=True, text=True, timeout=3600,
+                # 2h: a 1-core level at 200k docs (4+ legs, each leg
+                # re-synthesizing the corpus on that one core) overruns 1h
+                cmd, capture_output=True, text=True, timeout=7200,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
             line = [
@@ -278,7 +306,9 @@ def main() -> None:
     # the queries don't exercise) stretches past one discard and the
     # median lands mid-warm-up.
     pipe = run_pipeline_bench(spark, n_docs=5000, reps=args.reps)
-    queries, query_loadavg = run_queries(spark, sf_dir, reps=args.reps)
+    queries, query_loadavg, queries_contended = run_queries(
+        spark, sf_dir, reps=args.reps
+    )
     queries["dedup_pipeline_5k"] = pipe["wall_sec"]
     total = round(sum(queries.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -290,6 +320,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": queries,
                 "query_loadavg": query_loadavg,
+                "queries_contended": queries_contended,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "docs_per_sec": pipe["docs_per_sec"],
                 "pipeline_legs_sec": pipe["legs_sec"],

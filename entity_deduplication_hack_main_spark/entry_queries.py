@@ -793,8 +793,21 @@ def entity_verify_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ids.select(F.col("id").alias("id1"), (F.col("id") + 1).alias("id2"))
         .join(ids.select(F.col("id").alias("id2")), "id2", "left_semi")
     )
+    # Both record sides broadcast (15k rows at sf0.1), so the per-field
+    # Levenshtein + acronym work runs on `pairs`'s partitioning — which
+    # descends from the single-file customer scan (ONE task). Round-robin
+    # spread before the compute-heavy join, same reasoning (and measured
+    # effect) as similar_part_names above; a real cluster's multi-file
+    # scan already arrives spread.
+    pairs = pairs.repartition(spark.sparkContext.defaultParallelism * 2)
+    # a/b are customer⋈nation projections — post-join stats are unknown to
+    # Catalyst, so without the hint both record joins plan as SMJ (three
+    # extra Exchange+Sort stages for two ~15k-row sides; measured 3.0 →
+    # 1.3 s). At cluster scale the record sides of a verification join are
+    # the candidate-pair *payload* lookup — broadcastable whenever the
+    # record table fits, else the SMJ fallback is the right plan anyway.
     out = entity_op.verify_entity_pairs(
-        pairs, a, b, _ENT_FIELDS, filter_mode=True
+        pairs, F.broadcast(a), F.broadcast(b), _ENT_FIELDS, filter_mode=True
     )
     return out.select(
         "id1",
