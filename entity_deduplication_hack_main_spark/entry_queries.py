@@ -301,6 +301,41 @@ def lsh_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_cluster_sizes",
+    f"""
+SELECT n_members,
+       count(*)::BIGINT AS n_clusters,
+       (n_members * count(*))::BIGINT AS n_docs
+FROM (
+  SELECT cluster_id, count(*)::BIGINT AS n_members
+  FROM ({cc_op.sql_connected_components(
+      _EDGES_SQL, "SELECT doc_id AS id FROM documents"
+  )})
+  GROUP BY cluster_id
+)
+GROUP BY n_members
+""",
+)
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram of the end-to-end LSH dedup output — the
+    standard corpus-curation report (how much of the corpus is duplicated,
+    and in how large groups): one row per cluster size with the number of
+    clusters and docs at that size. Sum(n_docs) == corpus size; the
+    retained corpus after dedup is sum(n_clusters). Two partial-
+    aggregating shuffles over the (doc, cluster_id) assignment — nothing
+    beyond the clustering itself, so 100 TB-safe wherever the clustering
+    is."""
+    asn = lsh_dedup_clusters(spark, sf_dir)
+    per_cluster = asn.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members")
+    )
+    return per_cluster.groupBy("n_members").agg(
+        F.count("*").alias("n_clusters"),
+        (F.first("n_members") * F.count("*")).alias("n_docs"),
+    )
+
+
 # ===========================================================================
 # B. Text analysis (training-data pipeline operators)
 # ===========================================================================
