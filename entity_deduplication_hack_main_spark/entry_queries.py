@@ -36,6 +36,7 @@ from entity_deduplication_hack_main_spark.operators import (
 )
 from entity_deduplication_hack_main_spark.operators import knn as knn_op
 from entity_deduplication_hack_main_spark.operators import lsh as lsh_op
+from entity_deduplication_hack_main_spark.operators import setjoin as setjoin_op
 from entity_deduplication_hack_main_spark.operators import suffix as suffix_op
 from entity_deduplication_hack_main_spark.operators import verify as verify_op
 
@@ -333,6 +334,90 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_cluster.groupBy("n_members").agg(
         F.count("*").alias("n_clusters"),
         (F.first("n_members") * F.count("*")).alias("n_docs"),
+    )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    f"WITH {_REPR},\n{setjoin_op.sql_ngram_jaccard_pairs(CFG)}",
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard dedup: prefix-filtered set-similarity self-join
+    (operators/setjoin.py) — the brief's 'n-gram Jaccard' channel, exact
+    where MinHash-LSH is approximate."""
+    p = _docs_payload(spark, sf_dir)
+    return setjoin_op.ngram_jaccard_pairs(p, CFG)
+
+
+@register(
+    "dedup_keep_best",
+    f"""
+WITH _cc AS ({cc_op.sql_connected_components(
+        _EDGES_SQL, "SELECT doc_id AS id FROM documents"
+    )}),
+_j AS (
+  SELECT c.node, c.cluster_id, d.n_chars
+  FROM _cc c JOIN documents d ON c.node = d.doc_id
+)
+SELECT doc_id, cluster_id, n_members FROM (
+  SELECT node AS doc_id, cluster_id,
+         count(*) OVER (PARTITION BY cluster_id)::BIGINT AS n_members,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, node ASC) AS rn
+  FROM _j
+) WHERE rn = 1
+""",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-representative selection — the dedup OUTPUT a curation run
+    keeps: longest doc per cluster (lowest id on ties), via a partial-
+    aggregating max(struct) groupBy, never a per-cluster sort
+    (operators/cluster.py cluster_representatives)."""
+    asn = lsh_dedup_clusters(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    return cc_op.cluster_representatives(asn, docs)
+
+
+@register(
+    "dup_rate_by_source",
+    f"""
+WITH _cc AS ({cc_op.sql_connected_components(
+        _EDGES_SQL, "SELECT doc_id AS id FROM documents"
+    )}),
+_sz AS (SELECT cluster_id, count(*) AS n FROM _cc GROUP BY cluster_id),
+_j AS (
+  SELECT d.source, (s.n > 1) AS is_dup
+  FROM _cc c
+  JOIN documents d ON c.node = d.doc_id
+  JOIN _sz s ON c.cluster_id = s.cluster_id
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN is_dup THEN 1 ELSE 0 END)::BIGINT AS n_dup_docs,
+       round(sum(CASE WHEN is_dup THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+         AS dup_rate
+FROM _j GROUP BY source
+""",
+)
+def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication report (the Common-Crawl per-crawl-slice
+    audit): share of each source's docs that sit in a >1-member cluster.
+    Cost beyond the clustering: one partial-agg cluster-size groupBy, one
+    hash join back (a mega-cluster key is hot only against a 1-row build
+    side), one partial-agg rollup by source."""
+    asn = lsh_dedup_clusters(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    sizes = asn.groupBy("cluster_id").agg(F.count("*").alias("n"))
+    j = (
+        asn.join(sizes, "cluster_id")
+        .join(docs.select("doc_id", "source"), asn["node"] == F.col("doc_id"))
+        .select("source", (F.col("n") > 1).alias("is_dup"))
+    )
+    dup = F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+    return j.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        dup.alias("n_dup_docs"),
+        F.round(dup.cast("double") / F.count("*"), 6).alias("dup_rate"),
     )
 
 

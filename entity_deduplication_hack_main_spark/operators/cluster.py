@@ -203,6 +203,39 @@ def cluster_sizes(assignments: DataFrame) -> DataFrame:
     return assignments.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
 
 
+def cluster_representatives(
+    assignments: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    order_col: str = "n_chars",
+) -> DataFrame:
+    """One representative per cluster — the dedup OUTPUT a training
+    pipeline keeps: the doc with the highest ``order_col`` (longest text
+    wins, the usual curation rule), lowest id on ties.
+
+    Output: (doc_id, cluster_id, n_members), one row per cluster;
+    sum(n_members) == corpus size.
+
+    Scale: a single partial-aggregating ``groupBy(cluster_id)`` carrying
+    max(struct(order, -id)) + count — combiners reduce a boilerplate
+    mega-cluster to one struct per map task, unlike a row_number window
+    which would sort every member of the hottest cluster on one reducer.
+    """
+    j = assignments.join(
+        docs.select(F.col(id_col).alias("_rid"), F.col(order_col).alias("_ord")),
+        assignments["node"] == F.col("_rid"),
+    )
+    grp = j.groupBy("cluster_id").agg(
+        F.max(F.struct(F.col("_ord"), (-F.col("_rid")).alias("_neg"))).alias(
+            "_best"
+        ),
+        F.count("*").alias("n_members"),
+    )
+    return grp.select(
+        (-F.col("_best._neg")).alias(id_col), "cluster_id", "n_members"
+    )
+
+
 # --- DuckDB oracle (recursive CTE transitive closure — fine at test scale,
 # never used at scale) -----------------------------------------------------
 

@@ -958,3 +958,129 @@ def test_cut_spans_raw_misaligned_doc_passes_through_uncut(spark):
     out = {r["id"]: r for r in suffix.cut_spans_raw(docs, spans).collect()}
     assert not out[1]["aligned"]
     assert out[1]["n_cut"] == 0 and out[1]["text_cut"] == doc1
+
+
+# --- exact n-gram Jaccard set-similarity join (operators/setjoin.py) ------
+
+
+def _setjoin_payload(spark, n_docs=300, seed=11):
+    from entity_deduplication_hack_main_spark.config import TESTDATA_CONFIG
+    from entity_deduplication_hack_main_spark.functions import represent
+    from entity_deduplication_hack_main_spark.sources import corpus
+
+    docs = corpus.synthesize_corpus(
+        spark, n_docs=n_docs, dup_fraction=0.5, seed=seed
+    )
+    return (
+        represent.with_representation(docs, TESTDATA_CONFIG, "doc_id", "text")
+        .select("id", "shingle_set")
+        .cache()
+    )
+
+
+def _brute_jaccard_pairs(payload, t):
+    """O(n^2) oracle twin: crossJoin exact Jaccard (test scale only)."""
+    a = payload.select(
+        F.col("id").alias("id1"), F.col("shingle_set").alias("s1")
+    )
+    b = payload.select(
+        F.col("id").alias("id2"), F.col("shingle_set").alias("s2")
+    )
+    common = F.size(F.array_intersect("s1", "s2")).cast("double")
+    union = (F.size("s1") + F.size("s2")).cast("double") - common
+    return (
+        a.crossJoin(b)
+        .where(F.col("id1") < F.col("id2"))
+        .where(common >= F.lit(t) * union)
+        .select("id1", "id2", F.round(common / union, 6).alias("jaccard"))
+    )
+
+
+def test_ngram_jaccard_prefix_filter_lossless(spark):
+    """With the df cap disabled, the prefix-filtered join returns EXACTLY
+    the brute-force Jaccard>=t pair set — the PPJoin losslessness claim."""
+    from entity_deduplication_hack_main_spark.config import TESTDATA_CONFIG
+    from entity_deduplication_hack_main_spark.operators import setjoin
+
+    p = _setjoin_payload(spark)
+    t = TESTDATA_CONFIG.jaccard_similar
+    got = setjoin.ngram_jaccard_pairs(
+        p, TESTDATA_CONFIG, max_df=10**9
+    ).collect()
+    want = _brute_jaccard_pairs(p, t).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(want) > 0  # the corpus plants real near-dups
+
+
+def test_ngram_jaccard_df_cap_is_subset_and_prunes_postings(spark):
+    """A tight df cap only ever REMOVES pairs (coverage cap semantics) and
+    shrinks the posting index; real near-dups still surface because their
+    prefixes share many non-boilerplate grams."""
+    from entity_deduplication_hack_main_spark.config import TESTDATA_CONFIG
+    from entity_deduplication_hack_main_spark.operators import setjoin
+
+    p = _setjoin_payload(spark)
+    t = TESTDATA_CONFIG.jaccard_similar
+    full = {
+        (r.id1, r.id2)
+        for r in setjoin.ngram_jaccard_pairs(
+            p, TESTDATA_CONFIG, max_df=10**9
+        ).collect()
+    }
+    capped = {
+        (r.id1, r.id2)
+        for r in setjoin.ngram_jaccard_pairs(p, TESTDATA_CONFIG, max_df=4).collect()
+    }
+    assert capped <= full
+    n_full = setjoin.prefix_index(p, t, 10**9).count()
+    n_capped = setjoin.prefix_index(p, t, 4).count()
+    assert n_capped < n_full
+    # planted near-exact twins survive the cap
+    assert len(capped) >= 0.9 * len(full)
+
+
+def test_ngram_jaccard_plan_no_cartesian_no_python(spark):
+    from entity_deduplication_hack_main_spark.config import TESTDATA_CONFIG
+    from entity_deduplication_hack_main_spark.operators import setjoin
+
+    p = _setjoin_payload(spark, n_docs=50)
+    plan = (
+        setjoin.ngram_jaccard_pairs(p, TESTDATA_CONFIG)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_cluster_representatives_matches_window_rule(spark):
+    """groupBy max(struct) picks the same representative as the
+    row_number(ORDER BY n_chars DESC, id ASC) window it replaces."""
+    import random
+
+    from pyspark.sql import Window
+
+    from entity_deduplication_hack_main_spark.operators import cluster as cc
+
+    rng = random.Random(7)
+    rows = [
+        (i, i % 37, rng.randint(0, 500))  # (doc_id, cluster, n_chars) w/ ties
+        for i in range(400)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, _c long, n_chars long")
+    asn = docs.select(F.col("doc_id").alias("node"), F.col("_c").alias("cluster_id"))
+    got = cc.cluster_representatives(asn, docs.select("doc_id", "n_chars"))
+    w = Window.partitionBy("_c").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    want = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_members", F.count("*").over(Window.partitionBy("_c"))
+        )
+        .where("rn = 1")
+        .select("doc_id", F.col("_c").alias("cluster_id"), "n_members")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    assert got.count() == 37
