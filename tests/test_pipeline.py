@@ -194,3 +194,76 @@ def test_pipeline_cut_stage_committed_and_resumable(spark, tmp_path):
     assert {r["id"]: r["text_cut"] for r in r2.cut_docs.collect()} == {
         i: r["text_cut"] for i, r in cut.items()
     }
+
+
+def test_spark_submit_py_files_ship_contract(tmp_path):
+    """The north-rule ship contract, literally: zip the package, run
+    run_dedup.py under ``spark-submit --py-files <zip>`` in a FRESH JVM
+    whose only copy of the package is the zip (the driver script is copied
+    to tmp_path so its sys.path insert points away from the repo), then
+    re-run with the same workdir and require every stage to resume from
+    its committed checkpoint."""
+    import json
+    import os
+    import shutil
+    import subprocess
+    import zipfile
+
+    import duckdb
+
+    spark_submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+    if not os.path.exists(spark_submit):
+        pytest.skip("spark-submit not on this host")
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg = os.path.join(repo, "entity_deduplication_hack_main_spark")
+    zpath = tmp_path / "spark_dedup.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, repo))
+    shutil.copy(os.path.join(repo, "run_dedup.py"), tmp_path / "run_dedup.py")
+
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    cmd = [
+        spark_submit,
+        "--master", "local[4]",
+        "--conf", "spark.sql.shuffle.partitions=8",
+        "--conf", "spark.ui.enabled=false",
+        "--py-files", str(zpath),
+        str(tmp_path / "run_dedup.py"),
+        "--synthetic", "300",
+        "--output", str(tmp_path / "out"),
+        "--workdir", str(tmp_path / "wd"),
+    ]
+
+    def run():
+        p = subprocess.run(
+            cmd, cwd=tmp_path, env=env, capture_output=True, text=True,
+            timeout=420,
+        )
+        assert p.returncode == 0, p.stderr[-2000:]
+        summary = [
+            ln for ln in p.stdout.splitlines() if ln.startswith('{"run_id"')
+        ]
+        assert summary, p.stdout[-2000:]
+        return json.loads(summary[-1])
+
+    first = run()
+    assert first["docs"] == 300
+    assert first["clusters"] > 0
+    assert all(not s["resumed"] for s in first["stages"])
+    con = duckdb.connect()
+    n, k = con.sql(
+        f"SELECT count(*), count(DISTINCT cluster_id) "
+        f"FROM read_parquet('{tmp_path}/out/*.parquet')"
+    ).fetchone()
+    assert n == 300 and k == first["clusters"]
+
+    second = run()  # same workdir: every stage must resume, same output
+    assert all(s["resumed"] for s in second["stages"])
+    assert second["clusters"] == first["clusters"]
