@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "verify_candidate_pairs",
     "simhash_hamming_pairs",
     "winnow_candidate_pairs",
+    "ngram_jaccard_pairs",
     "exact_substring_spans",
     "lsh_dedup_clusters",
     "token_stats",

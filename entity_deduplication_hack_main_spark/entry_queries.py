@@ -344,8 +344,17 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard dedup: prefix-filtered set-similarity self-join
     (operators/setjoin.py) — the brief's 'n-gram Jaccard' channel, exact
-    where MinHash-LSH is approximate."""
-    p = _docs_payload(spark, sf_dir)
+    where MinHash-LSH is approximate. Feeds on the ordered-shingle kernel
+    (no MinHash/winnow/SimHash work — this channel doesn't use them)."""
+    # The testdata table is one parquet file: without a spread the whole
+    # kernel + explode subtree (evaluated four times by the self-join
+    # shape) runs on ONE task. Wall-neutral at sf0.1 (the join/distinct
+    # dominates there), load-bearing at larger single-file inputs. Same
+    # rationale as knn_ivf/event_sessions.
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    p = setjoin_op.shingle_sets(docs, CFG, "doc_id", "text", "md5")
     return setjoin_op.ngram_jaccard_pairs(p, CFG)
 
 

@@ -1084,3 +1084,27 @@ def test_cluster_representatives_matches_window_rule(spark):
         map(tuple, want.collect())
     )
     assert got.count() == 37
+
+
+def test_shingle_sets_match_payload(spark):
+    """The light ordered-shingle channel produces BIT-IDENTICAL shingle
+    sets to the full payload kernel, including empty/short-doc edges."""
+    from entity_deduplication_hack_main_spark.config import TESTDATA_CONFIG
+    from entity_deduplication_hack_main_spark.functions import represent
+    from entity_deduplication_hack_main_spark.operators import setjoin
+    from entity_deduplication_hack_main_spark.sources import corpus
+
+    docs = corpus.synthesize_corpus(spark, n_docs=200, dup_fraction=0.4, seed=5)
+    edges = spark.createDataFrame(
+        [(10_001, ""), (10_002, "   "), (10_003, "one"), (10_004, "two words"),
+         (10_005, "a b c"), (10_006, "exactly three tokens here now")],
+        "doc_id long, text string",
+    )
+    docs = docs.select("doc_id", "text").unionByName(edges)
+    light = setjoin.shingle_sets(docs, TESTDATA_CONFIG, "doc_id", "text", "md5")
+    full = represent.with_representation(
+        docs, TESTDATA_CONFIG, "doc_id", "text", "md5"
+    ).select("id", "shingle_set")
+    lm = {r.id: r.shingle_set for r in light.collect()}
+    fm = {r.id: r.shingle_set for r in full.collect()}
+    assert lm == fm
