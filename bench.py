@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "simhash_hamming_pairs",
     "winnow_candidate_pairs",
     "ngram_jaccard_pairs",
+    "decontaminate_vs_holdout",
     "exact_substring_spans",
     "lsh_dedup_clusters",
     "token_stats",

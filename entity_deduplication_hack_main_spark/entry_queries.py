@@ -32,6 +32,9 @@ from entity_deduplication_hack_main_spark.operators import (
     cluster as cc_op,
 )
 from entity_deduplication_hack_main_spark.operators import (
+    decontaminate as decon_op,
+)
+from entity_deduplication_hack_main_spark.operators import (
     hamming as ham_op,
 )
 from entity_deduplication_hack_main_spark.operators import knn as knn_op
@@ -335,6 +338,25 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_clusters"),
         (F.first("n_members") * F.count("*")).alias("n_docs"),
     )
+
+
+@register(
+    "decontaminate_vs_holdout",
+    f"""
+WITH {_REPR},
+{_SIG},
+{_BANDS},
+{decon_op.sql_decontaminate(CFG, "{id} % 10 != 0", "{id} % 10 = 0")}
+""",
+)
+def decontaminate_vs_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch decontamination (operators/decontaminate.py): every-10th doc
+    plays the benchmark holdout; flag train docs that exactly or nearly
+    match it — the keep-eval-out-of-training operation."""
+    p = _docs_payload(spark, sf_dir)
+    train = p.where(F.col("id") % 10 != 0)
+    ref = p.where(F.col("id") % 10 == 0)
+    return decon_op.decontaminate(train, ref, CFG)
 
 
 @register(

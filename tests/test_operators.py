@@ -1108,3 +1108,80 @@ def test_shingle_sets_match_payload(spark):
     lm = {r.id: r.shingle_set for r in light.collect()}
     fm = {r.id: r.shingle_set for r in full.collect()}
     assert lm == fm
+
+
+# --- batch decontamination (operators/decontaminate.py) -------------------
+
+
+def _decon_corpora(spark):
+    """Hand-planted train/ref corpora: one exact copy, one near copy,
+    unrelated filler. 60-token docs so a 1-token edit keeps J >> 0.7."""
+    from entity_deduplication_hack_main_spark.config import TESTDATA_CONFIG
+    from entity_deduplication_hack_main_spark.functions import represent
+
+    base = " ".join(f"tok{i % 23}w{i}" for i in range(60))
+    near = base.replace("tok5w5", "CHANGED")          # 1 token of 60 edited
+    other = " ".join(f"zz{i}q{i % 7}" for i in range(60))
+    docs = spark.createDataFrame(
+        [
+            (100, base),            # ref doc
+            (101, other),           # ref doc, unrelated
+            (1, base),              # train: exact copy of 100
+            (2, near),              # train: near-dup of 100
+            (3, " ".join(f"pp{i}" for i in range(60))),  # train: clean
+        ],
+        "doc_id long, text string",
+    )
+    p = represent.with_representation(
+        docs, TESTDATA_CONFIG, "doc_id", "text"
+    ).cache()
+    return (
+        p.where(F.col("id") < 100),
+        p.where(F.col("id") >= 100),
+        TESTDATA_CONFIG,
+    )
+
+
+def test_decontaminate_flags_exact_and_near(spark):
+    """Exact copy -> reason 'exact' (priority over its band collisions);
+    near copy -> 'near'; clean doc untouched; ref_id points at the source."""
+    from entity_deduplication_hack_main_spark.operators import decontaminate
+
+    train, ref, cfg = _decon_corpora(spark)
+    got = {
+        r["doc_id"]: (r["reason"], r["ref_id"])
+        for r in decontaminate.decontaminate(train, ref, cfg).collect()
+    }
+    assert got == {1: ("exact", 100), 2: ("near", 100)}
+
+
+def test_decontaminate_broadcast_ref_identical_and_planned(spark):
+    """broadcast_ref=True is the 100-TB-train/small-holdout path: results
+    identical, plan uses broadcast joins, never Python or a cartesian."""
+    from entity_deduplication_hack_main_spark.operators import decontaminate
+
+    train, ref, cfg = _decon_corpora(spark)
+    plain = decontaminate.decontaminate(train, ref, cfg)
+    bcast = decontaminate.decontaminate(train, ref, cfg, broadcast_ref=True)
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, bcast.collect())
+    )
+    plan = bcast._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_decontaminate_threshold_override(spark):
+    """threshold=1.01 disables the near channel (J can't exceed 1); the
+    exact channel is unaffected."""
+    from entity_deduplication_hack_main_spark.operators import decontaminate
+
+    train, ref, cfg = _decon_corpora(spark)
+    got = {
+        r["doc_id"]: r["reason"]
+        for r in decontaminate.decontaminate(
+            train, ref, cfg, threshold=1.01
+        ).collect()
+    }
+    assert got == {1: "exact"}
