@@ -37,6 +37,8 @@ BENCH_QUERIES = [
     "ngram_jaccard_pairs",
     "decontaminate_vs_holdout",
     "exact_substring_spans",
+    "line_dedup_docs",
+    "gopher_repetition_scores",
     "lsh_dedup_clusters",
     "token_stats",
     "quality_scores",

@@ -24,6 +24,9 @@ from pyspark.sql import functions as F
 
 from entity_deduplication_hack_main_spark.config import TESTDATA_CONFIG, DedupConfig
 from entity_deduplication_hack_main_spark.functions import (
+    repetition as repetition_fn,
+)
+from entity_deduplication_hack_main_spark.functions import (
     represent,
     textnorm,
     textstats,
@@ -38,6 +41,9 @@ from entity_deduplication_hack_main_spark.operators import (
     hamming as ham_op,
 )
 from entity_deduplication_hack_main_spark.operators import knn as knn_op
+from entity_deduplication_hack_main_spark.operators import (
+    linededup as linededup_op,
+)
 from entity_deduplication_hack_main_spark.operators import lsh as lsh_op
 from entity_deduplication_hack_main_spark.operators import setjoin as setjoin_op
 from entity_deduplication_hack_main_spark.operators import suffix as suffix_op
@@ -1386,6 +1392,73 @@ def embedding_near_dup_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_op.embedding_near_dup_lsh(
         allv, dim=64, threshold=0.99, id_col="vec_id", vec_col="v"
     )
+
+
+# ===========================================================================
+# G. Line-level dedup + Gopher repetition signals (C4/RefinedWeb/Gopher)
+# ===========================================================================
+# The driver's `documents` texts are single-line token streams, so these
+# queries derive a deterministic multi-line view — every 5th space becomes
+# a newline — IDENTICALLY in both engines (same left-to-right
+# non-overlapping regex replace in Java regex and RE2). The operators
+# themselves consume any text with newlines (the synthetic web corpus'
+# extracted text is naturally multi-line; tests/test_linededup.py runs
+# them there too).
+
+_LINE_PAT = r"((\S+ ){4}\S+) "
+_SQL_TEXT_NL = (
+    "regexp_replace(text, '((\\S+ ){4}\\S+) ', '\\1' || chr(10), 'g')"
+)
+
+
+def _docs_nl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), _LINE_PAT, "$1\n").alias("text"),
+    )
+
+
+@register(
+    "gopher_repetition_scores",
+    repetition_fn.sql_repetition_scores("documents", "doc_id", _SQL_TEXT_NL),
+)
+def gopher_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition-quality signals (Rae et al. 2021 A1.1): duplicate
+    line fracs + top-{2,3,4} / dup-{5..10} n-gram char fracs + pass flag.
+    One projection + one Arrow kernel pass, no shuffle
+    (functions/repetition.py)."""
+    scored = repetition_fn.repetition_scores(
+        _docs_nl(spark, sf_dir), "doc_id", "text", "md5"
+    )
+    return scored.withColumnRenamed("id", "doc_id")
+
+
+@register(
+    "duplicate_line_stats",
+    linededup_op.sql_duplicate_line_stats("documents", "doc_id", _SQL_TEXT_NL),
+)
+def duplicate_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicated-line inventory (the boilerplate report):
+    (line, n_docs, n_occurrences) for every line occurring >= 2 times.
+    Partial-aggregating groupBy on the raw line — hot-key safe."""
+    return linededup_op.duplicate_line_stats(_docs_nl(spark, sf_dir))
+
+
+@register(
+    "line_dedup_docs",
+    "SELECT id AS doc_id, text, n_lines, n_kept, n_removed FROM ("
+    + linededup_op.sql_dedup_lines(
+        "documents", "doc_id", _SQL_TEXT_NL, keep_first=True
+    )
+    + ") _",
+)
+def line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style corpus line dedup, keep-first semantics: every
+    line occurrence after the globally first (by (doc_id, line_no)) is
+    removed; docs are preserved (possibly emptied). groupBy min-occurrence
+    + join-back — no per-key arrays (operators/linededup.py)."""
+    out = linededup_op.dedup_lines(_docs_nl(spark, sf_dir))
+    return out.withColumnRenamed("id", "doc_id")
 
 
 # ===========================================================================
