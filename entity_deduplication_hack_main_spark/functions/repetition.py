@@ -297,6 +297,57 @@ def repetition_scores(
     return scored.withColumn("gopher_pass", passed)
 
 
+def gopher_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_strategy: str = "xxhash64",
+    seed: int = 69,
+    thresholds: dict[str, float] | None = None,
+) -> DataFrame:
+    """Drop documents failing the Gopher repetition thresholds; the
+    surviving rows keep the input schema unchanged.
+
+    Zero-shuffle shape: every original column rides through the Arrow
+    kernel batch as a pass-through extra, so the filter is a pure map —
+    no join back on id, no exchange (plan-asserted in
+    tests/test_repetition.py). That is the difference between a quality
+    gate that costs one corpus scan and one that costs a corpus-wide
+    shuffle at 100 TB.
+    """
+    thresholds = thresholds or GOPHER_THRESHOLDS
+    orig = docs.columns
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    toks = textnorm.tokens(textnorm.normalize(text))
+    nl, ndl, lc, dlc = _seg_stats(F.split(text, "\n"))
+    from entity_deduplication_hack_main_spark.functions import represent
+
+    cols = [
+        F.col(id_col).alias("id"),
+        represent.token_hashes(text, hash_strategy).alias("_th"),
+        F.transform(toks, F.length).alias("_tl"),
+        nl.alias("_nl"),
+        ndl.alias("_ndl"),
+        lc.alias("_lc"),
+        dlc.alias("_dlc"),
+    ] + [F.col(c).alias(f"_x_{i}") for i, c in enumerate(orig)]
+    counted = repetition_counts_map(docs.select(*cols), seed)
+    fr = {
+        "dup_line_frac": _frac(F.col("_ndl"), F.col("_nl")),
+        "dup_line_char_frac": _frac(F.col("_dlc"), F.col("_lc")),
+    }
+    for g in TOP_NS:
+        fr[f"top{g}_gram_char_frac"] = _frac(F.col(f"top{g}_v"), F.col("c"))
+    for g in DUP_NS:
+        fr[f"dup{g}_gram_char_frac"] = _frac(F.col(f"dup{g}_ch"), F.col("c"))
+    keep = F.lit(True)
+    for name, thr in thresholds.items():
+        keep = keep & (fr[name] <= F.lit(thr))
+    return counted.where(keep).select(
+        *[F.col(f"_x_{i}").alias(c) for i, c in enumerate(orig)]
+    )
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracle
 # --------------------------------------------------------------------------

@@ -65,6 +65,8 @@ def run_pipeline(
     containment_threshold: float = 0.9,
     model: dict | None = None,
     model_min_score: float = 0.5,
+    line_dedup_max_doc_freq: int | None = None,
+    gopher_filter: bool = False,
 ) -> PipelineResult:
     """model: optional learned pair classifier (operators/learned.py
     fit_pair_classifier output). When given, the Jaccard leg of the edge
@@ -72,10 +74,56 @@ def run_pipeline(
     verified measures — jaccard/hamming/containment are all available as
     features) instead of the fixed threshold; the Hamming and containment
     legs stay. model_min_score typically comes from
-    learned.pick_threshold_for_precision (r02 verdict #10)."""
+    learned.pick_threshold_for_precision (r02 verdict #10).
+
+    line_dedup_max_doc_freq: when set, a committed ``line_dedup``
+    pre-stage removes every LINE appearing in more than that many
+    distinct documents (the C4/CCNet boilerplate rule) before
+    representation, and drops documents left empty. Deliberately NOT the
+    keep-first rule here: keep-first would empty exact-copy duplicates
+    corpus-wide and erase the very doc-level duplicate signal this
+    pipeline exists to find (tested:
+    test_pipeline_line_dedup_preserves_recall); with the doc-frequency
+    rule a 2-copy duplicate pair keeps its lines while a cookie banner in
+    thousands of docs disappears everywhere.
+
+    gopher_filter: when True, a committed ``quality_filter`` pre-stage
+    (after line dedup, matching the open-pipeline ordering) drops
+    documents failing the published Gopher repetition thresholds — a
+    zero-shuffle kernel map (functions/repetition.py gopher_filter)."""
     config = config or DedupConfig()
     com = StageCommitter(spark, workdir, run_id)
     nbits = 64 if hash_strategy == "xxhash64" else 60
+
+    if line_dedup_max_doc_freq is not None:
+        from entity_deduplication_hack_main_spark.operators import linededup
+
+        def build_line_dedup() -> DataFrame:
+            cleaned = linededup.dedup_lines(
+                docs,
+                id_col,
+                text_col,
+                keep_first=False,
+                max_doc_freq=line_dedup_max_doc_freq,
+            )
+            return cleaned.where(F.col("n_kept") > 0).select(
+                F.col("id").alias(id_col),
+                F.col("text").alias(text_col),
+                "n_lines",
+                "n_removed",
+            )
+
+        docs = com.stage("line_dedup", build_line_dedup)
+
+    if gopher_filter:
+        from entity_deduplication_hack_main_spark.functions import repetition
+
+        def build_quality_filter() -> DataFrame:
+            return repetition.gopher_filter(
+                docs, id_col, text_col, hash_strategy, config.seed
+            )
+
+        docs = com.stage("quality_filter", build_quality_filter)
 
     def build_payload() -> DataFrame:
         return represent.with_representation(

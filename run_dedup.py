@@ -71,6 +71,15 @@ def main() -> None:
                     help="sink for the RAW-byte span-cut corpus (id, "
                          "n_tokens, n_cut, aligned, text_cut); requires "
                          "--span-k. One gram pass feeds both spans and cut.")
+    ap.add_argument("--line-dedup-max-doc-freq", type=int, default=None,
+                    help="pre-stage: remove every line appearing in more "
+                         "than this many distinct docs (C4/CCNet "
+                         "boilerplate rule) before representation; "
+                         "emptied docs are dropped")
+    ap.add_argument("--gopher-filter", action="store_true",
+                    help="pre-stage: drop docs failing the published "
+                         "Gopher repetition thresholds (zero-shuffle "
+                         "kernel map)")
     ap.add_argument("--compact-spans", action="store_true",
                     help="periodic batch compaction for a STREAMED workdir: "
                          "run the corpus-global exact-substring span pass + "
@@ -189,6 +198,8 @@ def main() -> None:
         spark, docs, config,
         id_col=id_col, text_col=text_col,
         workdir=args.workdir, run_id=run_id,
+        line_dedup_max_doc_freq=args.line_dedup_max_doc_freq,
+        gopher_filter=args.gopher_filter,
     )
     tables.write_table(res.assignments, args.output, args.table_format)
     if res.spans is not None and args.spans_output:

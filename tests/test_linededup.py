@@ -121,3 +121,39 @@ def test_line_dedup_on_synthetic_corpus_removes_shared_sentences(spark):
     assert untouched, "some originals must be untouched"
     assert all(r["text_dedup"] == r["text"] for r in untouched)
     docs.unpersist()
+
+
+def test_pipeline_line_dedup_preserves_recall(spark, tmp_path):
+    """A boilerplate banner line planted into EVERY doc is removed by the
+    line_dedup pre-stage (doc-frequency rule) and dup-pair recall stays
+    1.0 — the rule never empties a genuine 2-copy duplicate pair. Also
+    covers the quality_filter stage wiring (word-salad docs pass)."""
+    from entity_deduplication_hack_main_spark.config import DedupConfig
+    from entity_deduplication_hack_main_spark.operators import evaluate
+    from entity_deduplication_hack_main_spark.plans.pipeline import run_pipeline
+
+    n = 200
+    base = corpus.synthesize_corpus(
+        spark, n_docs=n, dup_fraction=0.4, seed=11
+    )
+    banner = "accept all cookies to continue reading this site"
+    docs = base.withColumn(
+        "text", F.concat(F.lit(banner + "\n"), F.col("text"))
+    ).cache()
+    docs.count()
+    res = run_pipeline(
+        spark,
+        docs,
+        DedupConfig(),
+        workdir=str(tmp_path / "wd"),
+        line_dedup_max_doc_freq=8,
+        gopher_filter=True,
+    )
+    stage_names = [e["stage"] for e in res.committer.events]
+    assert "line_dedup" in stage_names and "quality_filter" in stage_names
+    golden = corpus.golden_pairs(spark, n, 0.4)
+    recall = evaluate.cluster_recall(res.assignments, golden)
+    assert recall >= 0.99, recall
+    # no document was dropped: banner removal never empties these docs
+    assert res.assignments.count() == n
+    docs.unpersist()

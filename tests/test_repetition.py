@@ -173,3 +173,42 @@ def test_plan_is_one_kernel_pass_no_shuffle(spark):
     assert "BatchEvalPython" not in plan
     assert plan.count("MapInArrow") == 1
     assert "Exchange" not in plan
+
+
+def test_gopher_filter_drops_spam_keeps_schema(spark):
+    """gopher_filter removes repetition-heavy docs, keeps clean ones, and
+    preserves the input schema (all original columns ride through the
+    kernel batch)."""
+    # clean doc must be realistically long: on a short doc even a
+    # count-1 top 2-gram exceeds 20% of the characters (Gopher gates on
+    # >= 50 words before applying these filters)
+    clean = " ".join(f"word{i:02d} item{i:02d}" for i in range(30))
+    df = spark.createDataFrame(
+        [
+            (1, clean, "en"),
+            (2, "buy now " * 30, "en"),  # dup-2-gram spam
+        ],
+        "doc_id bigint, text string, lang string",
+    )
+    out = repetition.gopher_filter(df, "doc_id", "text")
+    assert out.columns == ["doc_id", "text", "lang"]
+    rows = out.collect()
+    assert [r["doc_id"] for r in rows] == [1]
+    assert rows[0]["lang"] == "en"
+
+
+def test_gopher_filter_plan_is_zero_shuffle(spark):
+    """The quality gate is a pure map: projection + one Arrow kernel +
+    filter — no Exchange, no join back on id, no row Python."""
+    df = spark.createDataFrame(
+        [(1, "some text here", "en")], "doc_id bigint, text string, lang string"
+    )
+    plan = (
+        repetition.gopher_filter(df, "doc_id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("MapInArrow") == 1
