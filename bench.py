@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "exact_substring_spans",
     "line_dedup_docs",
     "gopher_repetition_scores",
+    "gopher_quality_marks",
     "lsh_dedup_clusters",
     "token_stats",
     "quality_scores",

@@ -45,6 +45,9 @@ from entity_deduplication_hack_main_spark.operators import (
     linededup as linededup_op,
 )
 from entity_deduplication_hack_main_spark.operators import lsh as lsh_op
+from entity_deduplication_hack_main_spark.operators import (
+    sampling as sampling_op,
+)
 from entity_deduplication_hack_main_spark.operators import setjoin as setjoin_op
 from entity_deduplication_hack_main_spark.operators import suffix as suffix_op
 from entity_deduplication_hack_main_spark.operators import verify as verify_op
@@ -1459,6 +1462,61 @@ def line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     + join-back — no per-key arrays (operators/linededup.py)."""
     out = linededup_op.dedup_lines(_docs_nl(spark, sf_dir))
     return out.withColumnRenamed("id", "doc_id")
+
+
+_SAMPLE_BUDGET = 15000  # tokens — ~half the sf0.01 corpus
+
+
+@register(
+    "token_budget_sample",
+    sampling_op.sql_proportional_token_sample(_SAMPLE_BUDGET),
+)
+def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic token-budget subsample: keep docs with
+    md5_long(id) below the budget/total fraction of the hash space —
+    stable across partitionings, nested across budgets, NO global sort
+    (operators/sampling.py). The oracle checks the exact kept id set."""
+    return sampling_op.proportional_token_sample(
+        _t(spark, sf_dir, "documents"), _SAMPLE_BUDGET
+    )
+
+
+@register(
+    "balanced_source_sample",
+    sampling_op.sql_balanced_source_sample(),
+)
+def balanced_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-balancing sampler: every source downsampled to the
+    smallest source's token mass (expected), per-group fractions
+    broadcast back — the mixture-equalization primitive."""
+    return sampling_op.balanced_source_sample(
+        _t(spark, sf_dir, "documents")
+    )
+
+
+@register(
+    "gopher_quality_marks",
+    f"""
+SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+       bullet_line_frac, ellipsis_line_frac, alpha_word_frac, n_stop_hits,
+       {textstats.SQL_GOPHER_QUALITY_PASS} AS quality_pass
+FROM (SELECT doc_id,
+             {', '.join(textstats.sql_gopher_quality(_SQL_TEXT_NL))}
+      FROM documents) _
+""",
+)
+def gopher_quality_marks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The non-repetition half of the Gopher quality suite (word count,
+    mean word length, symbol/bullet/ellipsis ratios, alpha-word fraction,
+    stopword presence) + the composite pass flag — pure JVM expressions
+    (functions/textstats.py gopher_quality_cols)."""
+    docs = _docs_nl(spark, sf_dir)
+    cols = textstats.gopher_quality_cols(F.col("text"))
+    return docs.select(
+        "doc_id",
+        *[c.alias(n) for n, c in cols.items()],
+        textstats.gopher_quality_pass(cols).alias("quality_pass"),
+    )
 
 
 # ===========================================================================

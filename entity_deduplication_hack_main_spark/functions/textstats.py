@@ -142,6 +142,135 @@ def quality_score_from(toks: Column, text: Column) -> Column:
     return F.round(rep * (1.0 - pr) * len_ok, 6)
 
 
+# --- Gopher quality rules (Rae et al. 2021 A1.1 — the non-repetition
+# half; the repetition half lives in functions/repetition.py) ------------
+# Words = raw whitespace-split tokens (NOT normalized: the alpha-char and
+# symbol rules inspect raw punctuation). Rules, a doc passes if ALL hold:
+#   50 <= n_words <= 100000;  3 <= mean_word_len <= 10;
+#   symbol_word_ratio <= 0.1 ('#' plus '...'/'…' occurrences per word);
+#   bullet_line_frac <= 0.9 (lines starting with • - *);
+#   ellipsis_line_frac <= 0.3 (lines ending with '...' or '…');
+#   alpha_word_frac >= 0.8 (words containing >= 1 [A-Za-z]);
+#   n_stop_hits >= 2 (distinct members of the 8-word Gopher stop list).
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_cols(text: Column) -> dict[str, Column]:
+    """The Gopher quality signals as named Columns (one raw-word split +
+    one line split per row; ratios rounded 6 to match the oracle)."""
+    words = F.filter(F.split(text, r"\s+"), lambda w: w != F.lit(""))
+    lines = F.split(text, "\n")
+    nw = F.size(words)
+    wlen_sum = F.aggregate(
+        F.transform(words, F.length), F.lit(0), lambda a, x: a + x
+    )
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    n_sym = F.regexp_count(text, F.lit("#")) + F.regexp_count(
+        text, F.lit(r"\.\.\.")
+    ) + F.regexp_count(text, F.lit("…"))
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.startswith(F.ltrim(ln), F.lit("•"))
+            | F.startswith(F.ltrim(ln), F.lit("-"))
+            | F.startswith(F.ltrim(ln), F.lit("*")),
+        )
+    )
+    n_ellipsis = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.endswith(ln, F.lit("..."))
+            | F.endswith(ln, F.lit("…")),
+        )
+    )
+    toks = textnorm.tokens(textnorm.normalize(text))
+    sw = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), sw))
+
+    def ratio(num: Column, den: Column) -> Column:
+        return F.round(
+            F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0)), 6
+        )
+
+    return {
+        "n_words": nw.cast("bigint"),
+        "mean_word_len": ratio(wlen_sum, nw),
+        "symbol_word_ratio": ratio(n_sym, nw),
+        "bullet_line_frac": ratio(n_bullet, F.size(lines)),
+        "ellipsis_line_frac": ratio(n_ellipsis, F.size(lines)),
+        "alpha_word_frac": ratio(n_alpha, nw),
+        "n_stop_hits": n_stop.cast("bigint"),
+    }
+
+
+def gopher_quality_pass(cols: dict[str, Column]) -> Column:
+    return (
+        (cols["n_words"] >= 50)
+        & (cols["n_words"] <= 100000)
+        & (cols["mean_word_len"] >= 3)
+        & (cols["mean_word_len"] <= 10)
+        & (cols["symbol_word_ratio"] <= 0.1)
+        & (cols["bullet_line_frac"] <= 0.9)
+        & (cols["ellipsis_line_frac"] <= 0.3)
+        & (cols["alpha_word_frac"] >= 0.8)
+        & (cols["n_stop_hits"] >= 2)
+    )
+
+
+def sql_gopher_quality(text_expr: str) -> list[str]:
+    """DuckDB select-expression list mirroring :func:`gopher_quality_cols`
+    + the pass flag, aliased identically."""
+    words = f"list_filter(string_split_regex({text_expr}, '\\s+'), w -> w != '')"
+    lines = f"string_split({text_expr}, chr(10))"
+    toks = textnorm.sql_tokens(textnorm.sql_normalize(text_expr))
+    sw = "[" + ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS) + "]"
+    nw = f"len({words})"
+    wlen = f"coalesce(list_sum(list_transform({words}, w -> len(w))), 0)"
+    n_alpha = (
+        f"len(list_filter({words}, w -> regexp_matches(w, '[A-Za-z]')))"
+    )
+    n_sym = (
+        f"(len(regexp_extract_all({text_expr}, '#'))"
+        f" + len(regexp_extract_all({text_expr}, '\\.\\.\\.'))"
+        f" + len(regexp_extract_all({text_expr}, '…')))"
+    )
+    n_bullet = (
+        f"len(list_filter({lines}, l -> starts_with(trim(l), '•')"
+        f" OR starts_with(trim(l), '-') OR starts_with(trim(l), '*')))"
+    )
+    n_ell = (
+        f"len(list_filter({lines}, l -> ends_with(l, '...')"
+        f" OR ends_with(l, '…')))"
+    )
+    n_stop = f"len(list_intersect(list_distinct({toks}), {sw}))"
+
+    def ratio(num: str, den: str) -> str:
+        return (
+            f"CASE WHEN {den} > 0 THEN round({num}::DOUBLE / {den}, 6) "
+            f"ELSE 0.0 END"
+        )
+
+    exprs = [
+        f"{nw}::BIGINT AS n_words",
+        f"{ratio(wlen, nw)} AS mean_word_len",
+        f"{ratio(n_sym, nw)} AS symbol_word_ratio",
+        f"{ratio(n_bullet, f'len({lines})')} AS bullet_line_frac",
+        f"{ratio(n_ell, f'len({lines})')} AS ellipsis_line_frac",
+        f"{ratio(n_alpha, nw)} AS alpha_word_frac",
+        f"{n_stop}::BIGINT AS n_stop_hits",
+    ]
+    return exprs
+
+
+SQL_GOPHER_QUALITY_PASS = (
+    "(n_words >= 50 AND n_words <= 100000 AND mean_word_len >= 3 AND "
+    "mean_word_len <= 10 AND symbol_word_ratio <= 0.1 AND "
+    "bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3 AND "
+    "alpha_word_frac >= 0.8 AND n_stop_hits >= 2)"
+)
+
+
 def fingerprint(text: Column) -> Column:
     """Normalized-content fingerprint: md5 of normalized text — the
     boilerplate-insensitive exact-dup key."""

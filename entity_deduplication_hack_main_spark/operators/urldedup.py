@@ -1,0 +1,86 @@
+"""URL-canonicalization dedup — the cheapest Common-Crawl dedup channel.
+
+Recrawls and tracking-decorated links are the highest-volume duplicate
+source in web corpora, and they are detectable from the URL alone —
+before any content hashing. This operator canonicalizes URLs into a
+``url_key`` and keeps one representative page per key (earliest
+``warc_ts``, then lowest id — the "first crawl wins" rule used by
+Common-Crawl-style curation).
+
+Canonicalization (documented; pure JVM ``parse_url`` + regex/array
+expressions, no Python):
+- scheme and fragment dropped; host lowercased; leading ``www.`` and an
+  explicit default port (``:80``/``:443``) stripped;
+- trailing ``/`` of the path stripped (``/a/b/`` == ``/a/b``; the root
+  path becomes the empty string);
+- query tracking parameters removed (``utm_*``, ``gclid``, ``fbclid``,
+  ``ref``, ``fb_action_ids``), the remaining parameters SORTED so
+  ``?b=2&a=1`` == ``?a=1&b=2``; an emptied query disappears entirely.
+
+Scale shape: one narrow projection, then a single partial-aggregating
+``groupBy(url_key)`` with ``min(struct(ts, id))`` + join-back — the same
+skew-safe pattern as operators/linededup.py (a hot key costs one struct
+per map partition; no per-key arrays). At 10^12 pages this is the stage
+you run FIRST: it shrinks the corpus before shingling ever happens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: query parameters that never change page content
+TRACKING_PARAM_PAT = r"^(utm_[^=]*|gclid|fbclid|ref|fb_action_ids)="
+
+
+def canonical_url_key(url: Column) -> Column:
+    """The canonical dedup key of a URL (see module docstring)."""
+    host = F.lower(F.parse_url(url, F.lit("HOST")))
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.regexp_replace(host, r":(80|443)$", "")
+    path = F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit(""))
+    path = F.regexp_replace(path, r"/$", "")
+    query = F.coalesce(F.parse_url(url, F.lit("QUERY")), F.lit(""))
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != F.lit("")) & ~p.rlike(TRACKING_PARAM_PAT),
+    )
+    qnorm = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        host,
+        path,
+        F.when(qnorm != "", F.concat(F.lit("?"), qnorm)).otherwise(F.lit("")),
+    )
+
+
+def url_dup_stats(docs: DataFrame, url_col: str = "url") -> DataFrame:
+    """(url_key, n_pages) for every canonical key with >= 2 pages."""
+    return (
+        docs.select(canonical_url_key(F.col(url_col)).alias("url_key"))
+        .groupBy("url_key")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .where(F.col("n_pages") >= 2)
+    )
+
+
+def dedup_by_url(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    ts_col: str | None = "warc_ts",
+) -> DataFrame:
+    """Keep one page per canonical URL: earliest *ts_col* (when given),
+    then lowest *id_col*. Input schema preserved, plus ``url_key``."""
+    keyed = docs.withColumn("url_key", canonical_url_key(F.col(url_col)))
+    occ = F.struct(
+        *([F.col(ts_col)] if ts_col else []), F.col(id_col)
+    ).alias("_occ")
+    winners = (
+        keyed.select(F.col("url_key").alias("_wk"), occ)
+        .groupBy("_wk")
+        .agg(F.min("_occ").alias("_first"))
+    )
+    kept = keyed.join(
+        winners, keyed["url_key"] == winners["_wk"], "inner"
+    ).where(F.col(f"_first.{id_col}") == F.col(id_col))
+    return kept.select("url_key", *docs.columns)

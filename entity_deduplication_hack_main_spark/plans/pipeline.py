@@ -67,6 +67,7 @@ def run_pipeline(
     model_min_score: float = 0.5,
     line_dedup_max_doc_freq: int | None = None,
     gopher_filter: bool = False,
+    url_dedup_col: str | None = None,
 ) -> PipelineResult:
     """model: optional learned pair classifier (operators/learned.py
     fit_pair_classifier output). When given, the Jaccard leg of the edge
@@ -90,10 +91,26 @@ def run_pipeline(
     gopher_filter: when True, a committed ``quality_filter`` pre-stage
     (after line dedup, matching the open-pipeline ordering) drops
     documents failing the published Gopher repetition thresholds — a
-    zero-shuffle kernel map (functions/repetition.py gopher_filter)."""
+    zero-shuffle kernel map (functions/repetition.py gopher_filter).
+
+    url_dedup_col: when set, a committed ``url_dedup`` pre-stage (before
+    everything else — it needs no content) keeps one page per canonical
+    URL (operators/urldedup.py dedup_by_url; earliest ``warc_ts`` wins
+    when present)."""
     config = config or DedupConfig()
     com = StageCommitter(spark, workdir, run_id)
     nbits = 64 if hash_strategy == "xxhash64" else 60
+
+    if url_dedup_col is not None:
+        # cheapest channel first: recrawls/tracking-decorated links drop
+        # on the URL alone, before any shingling (operators/urldedup.py)
+        from entity_deduplication_hack_main_spark.operators import urldedup
+
+        def build_url_dedup() -> DataFrame:
+            ts = "warc_ts" if "warc_ts" in docs.columns else None
+            return urldedup.dedup_by_url(docs, id_col, url_dedup_col, ts)
+
+        docs = com.stage("url_dedup", build_url_dedup)
 
     if line_dedup_max_doc_freq is not None:
         from entity_deduplication_hack_main_spark.operators import linededup

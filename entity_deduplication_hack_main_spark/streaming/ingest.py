@@ -71,7 +71,11 @@ daily): read the streamed `deduped` table, run
 corpus, overwrite `deduped_cut`. Idempotent (pure derived output); the
 streaming indexes are untouched, so ingest keeps deduping against the
 UNCUT corpus — span cutting changes training payloads, never dedup
-identity.
+identity. Boilerplate LINE removal follows the same recipe
+(:func:`line_dedup_compaction`): line doc-frequency is corpus-global, so
+it runs as a scheduled batch job over `deduped` into `deduped_lines`
+(doc-frequency rule only — keep-first depends on arrival order and would
+not be idempotent across re-runs).
 4. survivors append to the output plus three index tables — `_index`
    (id, fp, signature, simhash), `_band_index` (id, band_id, band_hash)
    and `_winnow_index` (id, wfp) — and one `_streaming_lineage` row
@@ -117,6 +121,9 @@ from entity_deduplication_hack_main_spark.functions import represent, textstats
 from entity_deduplication_hack_main_spark.functions import simhash as shash
 from entity_deduplication_hack_main_spark.operators import cluster as cc_op
 from entity_deduplication_hack_main_spark.operators import hamming as ham_op
+from entity_deduplication_hack_main_spark.operators import (
+    linededup as linededup_op,
+)
 from entity_deduplication_hack_main_spark.operators import lsh as lsh_op
 from entity_deduplication_hack_main_spark.operators import suffix as suffix_op
 from entity_deduplication_hack_main_spark.operators import verify as verify_op
@@ -677,6 +684,35 @@ class StreamingDedup:
         ).withColumnRenamed("id", self.id_col)
         cut.write.mode("overwrite").parquet(cut_path)
         return self.spark.read.parquet(cut_path)
+
+    def line_dedup_compaction(self, max_doc_freq: int = 8) -> DataFrame:
+        """Periodic batch compaction: corpus-global boilerplate LINE
+        removal over the streamed output table, same pattern as
+        :meth:`span_cut_compaction`.
+
+        Line frequency is corpus-global (a banner's doc frequency only
+        crosses the removal threshold once enough batches committed it),
+        so — like the span pass — it runs as a scheduled batch job, not
+        per micro-batch. Applies the doc-frequency rule only
+        (``keep_first=False``): keep-first depends on arrival order,
+        which a re-run compaction could not reproduce; the df rule is a
+        pure function of the committed corpus, so the overwrite is
+        idempotent. Writes ``<workdir>/deduped_lines`` (id, text,
+        n_lines, n_kept, n_removed); indexes untouched — dedup identity
+        is still the UNCUT text."""
+        out = os.path.join(self.workdir, "deduped_lines")
+        docs = self.spark.read.parquet(self.out_path).select(
+            self.id_col, self.text_col
+        )
+        cleaned = linededup_op.dedup_lines(
+            docs,
+            id_col=self.id_col,
+            text_col=self.text_col,
+            keep_first=False,
+            max_doc_freq=max_doc_freq,
+        ).withColumnRenamed("id", self.id_col)
+        cleaned.write.mode("overwrite").parquet(out)
+        return self.spark.read.parquet(out)
 
     def start(self, source_dir: str, schema: str, trigger_once: bool = True):
         stream = (

@@ -76,10 +76,22 @@ def main() -> None:
                          "than this many distinct docs (C4/CCNet "
                          "boilerplate rule) before representation; "
                          "emptied docs are dropped")
+    ap.add_argument("--url-dedup", action="store_true",
+                    help="pre-stage: keep one page per canonical URL "
+                         "(tracking params/www/ports/fragments stripped; "
+                         "earliest warc_ts wins)")
+    ap.add_argument("--url-col", default="url")
     ap.add_argument("--gopher-filter", action="store_true",
                     help="pre-stage: drop docs failing the published "
                          "Gopher repetition thresholds (zero-shuffle "
                          "kernel map)")
+    ap.add_argument("--compact-lines", action="store_true",
+                    help="periodic batch compaction for a STREAMED "
+                         "workdir: corpus-global boilerplate line removal "
+                         "over <workdir>/deduped into "
+                         "<workdir>/deduped_lines (doc-freq rule via "
+                         "--line-dedup-max-doc-freq, default 8). Requires "
+                         "--workdir; runs instead of the pipeline.")
     ap.add_argument("--compact-spans", action="store_true",
                     help="periodic batch compaction for a STREAMED workdir: "
                          "run the corpus-global exact-substring span pass + "
@@ -110,8 +122,9 @@ def main() -> None:
     elif args.cut_output:
         ap.error("--cut-output requires --span-k")
 
-    if not args.output and not args.compact_spans:
-        ap.error("--output is required (except with --compact-spans)")
+    if not args.output and not args.compact_spans and not args.compact_lines:
+        ap.error("--output is required (except with --compact-spans/"
+                 "--compact-lines)")
 
     if args.compact_spans:
         if not args.workdir:
@@ -140,6 +153,38 @@ def main() -> None:
             "cut_tokens": int(stats["cut_tokens"] or 0),
             "wall_sec": round(time.monotonic() - t0, 2),
             "out_path": os.path.join(args.workdir, "deduped_cut"),
+        }))
+        return
+
+    if args.compact_lines:
+        if not args.workdir:
+            ap.error("--compact-lines requires --workdir")
+        from entity_deduplication_hack_main_spark.streaming.ingest import (
+            StreamingDedup,
+        )
+
+        sd = StreamingDedup(
+            spark, args.workdir, config,
+            text_col=args.text_col, id_col=args.id_col,
+        )
+        t0 = time.monotonic()
+        cleaned = sd.line_dedup_compaction(
+            max_doc_freq=args.line_dedup_max_doc_freq or 8
+        )
+        from pyspark.sql import functions as F
+
+        stats = cleaned.agg(
+            F.count("*").alias("docs"),
+            F.sum(F.col("n_removed").cast("decimal(38,0)")).alias("rm"),
+            F.sum((F.col("n_kept") == 0).cast("bigint")).alias("emptied"),
+        ).collect()[0]
+        print(json.dumps({
+            "mode": "compact_lines",
+            "docs": stats["docs"],
+            "lines_removed": int(stats["rm"] or 0),
+            "docs_emptied": stats["emptied"],
+            "wall_sec": round(time.monotonic() - t0, 2),
+            "out_path": os.path.join(args.workdir, "deduped_lines"),
         }))
         return
 
@@ -200,6 +245,7 @@ def main() -> None:
         workdir=args.workdir, run_id=run_id,
         line_dedup_max_doc_freq=args.line_dedup_max_doc_freq,
         gopher_filter=args.gopher_filter,
+        url_dedup_col=args.url_col if args.url_dedup else None,
     )
     tables.write_table(res.assignments, args.output, args.table_format)
     if res.spans is not None and args.spans_output:

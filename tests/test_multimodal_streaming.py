@@ -432,3 +432,39 @@ def test_streaming_bigint_ids_supported(spark, tmp_path):
     out = spark.read.parquet(sd.out_path)
     assert out.schema["doc_id"].dataType.simpleString() == "bigint"
     assert {r["doc_id"] for r in out.collect()} == {1, 4}
+
+
+def test_streaming_line_dedup_compaction(spark, tmp_path):
+    """A boilerplate line committed by DIFFERENT batches crosses the
+    doc-frequency threshold only corpus-globally; the periodic
+    line_dedup_compaction job removes it from every committed doc while
+    unique lines survive byte-exactly. Re-running the compaction is
+    idempotent (df rule is a pure function of the committed corpus)."""
+    schema = "url string, warc_ts timestamp, text string"
+    banner = "subscribe to our newsletter for updates"
+    bodies = {
+        f"u{i}": " ".join(f"body{i}w{j}" for j in range(60)) for i in range(4)
+    }
+    sd = StreamingDedup(spark, str(tmp_path / "wd"), config=_sd_config())
+    sd.process_batch(
+        spark.createDataFrame(
+            [(u, None, banner + "\n" + b) for u, b in list(bodies.items())[:2]],
+            schema,
+        ),
+        0,
+    )
+    sd.process_batch(
+        spark.createDataFrame(
+            [(u, None, banner + "\n" + b) for u, b in list(bodies.items())[2:]],
+            schema,
+        ),
+        1,
+    )
+    assert spark.read.parquet(sd.out_path).count() == 4  # no doc-level dups
+    cleaned = {r["url"]: r for r in sd.line_dedup_compaction(max_doc_freq=3).collect()}
+    assert set(cleaned) == set(bodies)
+    for u, b in bodies.items():
+        assert cleaned[u]["text"] == b, u  # banner gone, body byte-exact
+        assert cleaned[u]["n_removed"] == 1
+    again = {r["url"]: r["text"] for r in sd.line_dedup_compaction(max_doc_freq=3).collect()}
+    assert again == {u: b for u, b in bodies.items()}

@@ -1185,3 +1185,45 @@ def test_decontaminate_threshold_override(spark):
         ).collect()
     }
     assert got == {1: "exact"}
+
+
+def test_gopher_quality_rules(spark):
+    """The non-repetition Gopher rules: a normal English doc passes; docs
+    violating one rule each (too short, bullet-heavy, symbol-heavy,
+    non-alpha, no stopwords) fail on exactly that signal."""
+    from entity_deduplication_hack_main_spark.functions import textstats
+
+    good = (
+        "the weather report says that we have a mild week ahead of us "
+        "and the forecast to be honest looks fine with some light rain "
+        "arriving later in the week which farmers say they welcome since "
+        "the ground has been dry for weeks and reservoirs need the water "
+        "to recover before summer demand peaks again across the region"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, "too short to pass " + "the of and that have with be to"),
+            (3, "\n".join("- bullet item number %d here" % i for i in range(60))
+                + "\nthe of and that have with " * 3),
+            (4, ("#tag " * 60) + "the of and that have with be to"),
+            (5, ("1234 5678 " * 30) + "the of and that have with"),
+        ],
+        "doc_id bigint, text string",
+    )
+    cols = textstats.gopher_quality_cols(F.col("text"))
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in docs.select(
+            "doc_id",
+            *[c.alias(n) for n, c in cols.items()],
+            textstats.gopher_quality_pass(cols).alias("ok"),
+        ).collect()
+    }
+    assert rows[1]["ok"], rows[1]
+    assert not rows[2]["ok"] and rows[2]["n_words"] < 50
+    assert not rows[3]["ok"] and rows[3]["bullet_line_frac"] > 0.9
+    assert not rows[4]["ok"] and rows[4]["symbol_word_ratio"] > 0.1
+    assert not rows[5]["ok"] and rows[5]["alpha_word_frac"] < 0.8
+    # stopword rule: distinct-membership count
+    assert rows[1]["n_stop_hits"] >= 2
