@@ -27,6 +27,9 @@ from entity_deduplication_hack_main_spark.functions import (
     repetition as repetition_fn,
 )
 from entity_deduplication_hack_main_spark.functions import (
+    pii as pii_fn,
+)
+from entity_deduplication_hack_main_spark.functions import (
     represent,
     textnorm,
     textstats,
@@ -47,6 +50,9 @@ from entity_deduplication_hack_main_spark.operators import (
 from entity_deduplication_hack_main_spark.operators import lsh as lsh_op
 from entity_deduplication_hack_main_spark.operators import (
     sampling as sampling_op,
+)
+from entity_deduplication_hack_main_spark.operators import (
+    semdedup as semdedup_op,
 )
 from entity_deduplication_hack_main_spark.operators import setjoin as setjoin_op
 from entity_deduplication_hack_main_spark.operators import suffix as suffix_op
@@ -1517,6 +1523,92 @@ def gopher_quality_marks(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[c.alias(n) for n, c in cols.items()],
         textstats.gopher_quality_pass(cols).alias("quality_pass"),
     )
+
+
+# ===========================================================================
+# PII + semantic dedup (curation passes)
+# ===========================================================================
+
+# The synthetic corpus text carries no natural PII, so the query augments
+# each doc with DETERMINISTIC synthetic PII derived from doc_id — the SAME
+# expression in both engines (docs with doc_id % 3 == 2 stay clean, so the
+# zero path is exercised too). The operators themselves run on any text.
+def _pii_aug():  # lazy: Column construction needs an active SparkContext
+    return F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 != 2,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 192.168."),
+                (F.col("doc_id") % 200).cast("string"),
+                F.lit("."),
+                ((F.col("doc_id") * 7) % 250).cast("string"),
+                F.lit(" call (4"),
+                ((F.col("doc_id") % 90) + 10).cast("string"),
+                F.lit(") 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+
+_SQL_PII_AUG = (
+    "text || CASE WHEN doc_id % 3 != 2 THEN"
+    " ' contact user' || doc_id::VARCHAR || '@example.com or 192.168.'"
+    " || (doc_id % 200)::VARCHAR || '.' || ((doc_id * 7) % 250)::VARCHAR"
+    " || ' call (4' || ((doc_id % 90) + 10)::VARCHAR || ') 555-'"
+    " || lpad((doc_id % 10000)::VARCHAR, 4, '0')"
+    " ELSE '' END"
+)
+
+_PII_COUNT_SQL = pii_fn.sql_pii_count_exprs("t")
+
+
+@register(
+    "pii_redaction_stats",
+    f"""
+SELECT doc_id,
+       {_PII_COUNT_SQL["n_email"]} AS n_email,
+       {_PII_COUNT_SQL["n_ipv4"]} AS n_ipv4,
+       {_PII_COUNT_SQL["n_phone"]} AS n_phone,
+       md5({pii_fn.sql_redact_expr("t")}) AS redacted_fp
+FROM (SELECT doc_id, {_SQL_PII_AUG} AS t FROM documents) _
+""",
+)
+def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact (C4/Dolma curation pass, functions/pii.py):
+    per-category match counts in redaction order + md5 of the redacted
+    text (byte-exact cross-engine). Pure JVM regex chain — no shuffle,
+    no Python."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _pii_aug().alias("t")
+    )
+    counts = pii_fn.pii_count_cols(F.col("t"))
+    return docs.select(
+        "doc_id",
+        counts["n_email"].alias("n_email"),
+        counts["n_ipv4"].alias("n_ipv4"),
+        counts["n_phone"].alias("n_phone"),
+        F.md5(pii_fn.redact(F.col("t"))).alias("redacted_fp"),
+    )
+
+
+@register(
+    "semantic_dedup_flags",
+    semdedup_op.sql_semantic_dedup(64, threshold=0.35),
+)
+def semantic_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) semantic dedup decision per vector:
+    IVF-cell assignment (seeded data-free quantizer — oracle precedent of
+    knn_ivf) → salted within-cell cosine pairs → greedy lowest-id keep
+    (operators/semdedup.py). τ=0.35 matches this synthetic corpus's
+    cosine scale (near-dup channel uses 0.3); real encoder embeddings
+    would run ~0.95."""
+    emb = _t(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return semdedup_op.semantic_dedup(emb, dim=64, config=CFG, threshold=0.35)
 
 
 # ===========================================================================
