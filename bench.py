@@ -40,6 +40,8 @@ BENCH_QUERIES = [
     "line_dedup_docs",
     "gopher_repetition_scores",
     "gopher_quality_marks",
+    "pii_redaction_stats",
+    "semantic_dedup_flags",
     "lsh_dedup_clusters",
     "token_stats",
     "quality_scores",
