@@ -42,6 +42,8 @@ BENCH_QUERIES = [
     "gopher_quality_marks",
     "pii_redaction_stats",
     "semantic_dedup_flags",
+    "dup_ngram_stats",
+    "bm25_search",
     "lsh_dedup_clusters",
     "token_stats",
     "quality_scores",

@@ -52,6 +52,9 @@ from entity_deduplication_hack_main_spark.operators import (
     sampling as sampling_op,
 )
 from entity_deduplication_hack_main_spark.operators import (
+    search as search_op,
+)
+from entity_deduplication_hack_main_spark.operators import (
     semdedup as semdedup_op,
 )
 from entity_deduplication_hack_main_spark.operators import setjoin as setjoin_op
@@ -1523,6 +1526,44 @@ def gopher_quality_marks(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[c.alias(n) for n, c in cols.items()],
         textstats.gopher_quality_pass(cols).alias("quality_pass"),
     )
+
+
+@register(
+    "dup_ngram_stats",
+    f"""
+SELECT id AS doc_id, n_shingles, n_dup_shingles, dup_frac FROM (
+WITH {_REPR},
+{setjoin_op.sql_dup_shingle_stats()}
+) _""",
+)
+def dup_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-n-gram fraction (Dolma-style cross-doc novelty
+    signal): share of each doc's distinct k-shingles occurring in >= 2
+    docs. Partial-agg df count + postings join — never a window over the
+    gram key (operators/setjoin.py dup_shingle_stats)."""
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    p = setjoin_op.shingle_sets(docs, CFG, "doc_id", "text", "md5")
+    return setjoin_op.dup_shingle_stats(p).withColumnRenamed("id", "doc_id")
+
+
+_BM25_TERMS = ["spark", "customer", "vector"]
+
+
+@register(
+    "bm25_search",
+    search_op.sql_bm25_topk(_BM25_TERMS, k=20),
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 over the corpus for a fixed probe query —
+    ranked lexical retrieval on the engine's own tokenizer
+    (operators/search.py; sorted-term fold so the float sum is
+    bit-stable cross-engine)."""
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return search_op.bm25_topk(docs, _BM25_TERMS, k=20)
 
 
 # ===========================================================================

@@ -202,3 +202,55 @@ _jac AS (
 SELECT id1, id2, round(common / un, 6) AS jaccard
 FROM _jac WHERE common >= {t} * un
 """
+
+
+# --- per-doc duplicated-n-gram fraction ------------------------------------
+
+
+def dup_shingle_stats(sets: DataFrame) -> DataFrame:
+    """(id, n_shingles, n_dup_shingles, dup_frac): per-doc share of its
+    DISTINCT k-shingles that occur in >= 2 corpus documents — the
+    cross-document n-gram novelty signal a curation run thresholds on
+    (the corpus-level cousin of Gopher's within-doc dup-gram fractions;
+    Dolma's "duplicate n-gram fraction" — public report).
+
+    sets: output of :func:`shingle_sets` (id, shingle_set).
+
+    Scale shape: explode postings → ``groupBy(g).count()`` (partial
+    aggregation keeps hot boilerplate grams to one row per map
+    partition) → join the df back onto the postings → per-doc groupBy.
+    Deliberately NOT a count-over-window on g: an unbounded window
+    buffers the hot gram's whole partition on one reducer
+    (suffix.py's collect_list lesson), while the join merely STREAMS
+    the hot gram's postings through one task with a tiny build side,
+    and AQE skew-join can split it."""
+    ex = sets.select("id", F.explode("shingle_set").alias("g"))
+    dfc = ex.groupBy("g").agg(F.count("*").alias("df"))
+    return (
+        ex.join(dfc, "g")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum((F.col("df") >= 2).cast("bigint")).alias(
+                "n_dup_shingles"
+            ),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(F.col("n_dup_shingles") / F.col("n_shingles"), 6),
+        )
+    )
+
+
+def sql_dup_shingle_stats() -> str:
+    """DuckDB twin over the `_ss` CTE (requires the repr CTE chain)."""
+    return """
+_ex AS (SELECT id, unnest(ss) AS g FROM _ss),
+_dfc AS (SELECT g, count(*) AS df FROM _ex GROUP BY g)
+SELECT id, count(*)::BIGINT AS n_shingles,
+       sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_shingles,
+       round(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*),
+             6) AS dup_frac
+FROM _ex JOIN _dfc USING (g)
+GROUP BY id
+"""

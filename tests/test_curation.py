@@ -155,3 +155,62 @@ def test_ivf_anchor_reuse_is_same_quantizer():
     a = ivf_anchors(64, 16, 69)
     b = ivf_anchors(64, 16, 69)
     assert (a == b).all()
+
+
+# --- dup-ngram novelty + BM25 search ---------------------------------------
+
+
+def test_dup_shingle_stats_planted(spark):
+    from entity_deduplication_hack_main_spark.config import TESTDATA_CONFIG
+    from entity_deduplication_hack_main_spark.operators import setjoin
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    uniq = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [(0, base), (1, base), (2, uniq)], "doc_id long, text string"
+    )
+    sets = setjoin.shingle_sets(docs, TESTDATA_CONFIG, "doc_id", "text")
+    got = {
+        r["id"]: (r["n_dup_shingles"], r["n_shingles"], r["dup_frac"])
+        for r in setjoin.dup_shingle_stats(sets).collect()
+    }
+    assert got[0][2] == 1.0 and got[1][2] == 1.0  # exact dup: all shared
+    assert got[2][0] == 0 and got[2][2] == 0.0    # unique doc: none
+
+
+def test_bm25_planted_doc_ranks_first(spark):
+    from entity_deduplication_hack_main_spark.operators import search
+
+    hit = "spark spark spark query engine"
+    docs = spark.createDataFrame(
+        [(0, hit)] + [(i, "table scan row value data") for i in range(1, 9)]
+        + [(9, "one spark mention only plus filler words here")],
+        "doc_id long, text string",
+    )
+    out = search.bm25_topk(docs, ["spark"], k=3).collect()
+    assert out[0]["doc_id"] == 0 and out[0]["rank"] == 1
+    assert out[1]["doc_id"] == 9
+    assert len(out) == 2  # zero-score docs are not returned
+
+
+def test_bm25_deterministic_across_partitionings(spark, sf001):
+    from entity_deduplication_hack_main_spark.operators import search
+
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    a = search.bm25_topk(docs.repartition(7), ["spark", "customer"], k=10)
+    b = search.bm25_topk(docs.coalesce(1), ["spark", "customer"], k=10)
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
+
+
+def test_bm25_plan_stays_jvm(spark, sf001):
+    from entity_deduplication_hack_main_spark.operators import search
+
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    plan = (
+        search.bm25_topk(docs, ["spark"], k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan  # stats join is a broadcast

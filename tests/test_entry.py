@@ -105,6 +105,7 @@ def test_near_dup_matmul_agrees_with_exact(spark, sf001, entry_mod):
         "gopher_repetition_scores", "gopher_quality_marks",
         "token_budget_sample", "balanced_source_sample",
         "pii_redaction_stats", "semantic_dedup_flags",
+        "dup_ngram_stats", "bm25_search",
     ],
 )
 def test_query_matches_oracle(spark, sf001, entry_mod, duck, name):
