@@ -51,6 +51,10 @@ class PipelineResult:
     # stage above, so the gram pass runs ONCE per pipeline invocation
     # (r03 verdict #8).
     cut_docs: DataFrame | None = None
+    # the shipped corpus: one keep-best representative per cluster with
+    # PII masked (id, cluster_id, n_members, n_email, n_ipv4, n_phone,
+    # text) — only when run_pipeline(pii_redact=True).
+    redacted: DataFrame | None = None
 
 
 def run_pipeline(
@@ -68,6 +72,7 @@ def run_pipeline(
     line_dedup_max_doc_freq: int | None = None,
     gopher_filter: bool = False,
     url_dedup_col: str | None = None,
+    pii_redact: bool = False,
 ) -> PipelineResult:
     """model: optional learned pair classifier (operators/learned.py
     fit_pair_classifier output). When given, the Jaccard leg of the edge
@@ -96,7 +101,17 @@ def run_pipeline(
     url_dedup_col: when set, a committed ``url_dedup`` pre-stage (before
     everything else — it needs no content) keeps one page per canonical
     URL (operators/urldedup.py dedup_by_url; earliest ``warc_ts`` wins
-    when present)."""
+    when present).
+
+    pii_redact: when True, a committed ``pii_redacted`` POST-stage emits
+    the corpus a training run would actually ship: one representative
+    per cluster (longest text, lowest id on ties — the keep-best rule),
+    its text PII-redacted (functions/pii.py, Dolma ordering: masking is
+    the LAST transform, after dedup, so fingerprints/signatures were
+    computed on the original bytes), plus per-category match counts.
+    When span cutting ran (``config.substring_cut``), redaction applies
+    to the cut text — the stage composes with, not bypasses, the span
+    pass."""
     config = config or DedupConfig()
     com = StageCommitter(spark, workdir, run_id)
     nbits = 64 if hash_strategy == "xxhash64" else 60
@@ -222,7 +237,47 @@ def run_pipeline(
                 lambda: suffix.cut_spans_raw(docs, spans, id_col, text_col),
             )
 
+    redacted = None
+    if pii_redact:
+        from entity_deduplication_hack_main_spark.functions import pii
+        from entity_deduplication_hack_main_spark.operators import (
+            cluster as cluster_ops,
+        )
+
+        def build_pii_redacted() -> DataFrame:
+            # ship-text source: span-cut bytes when the cut stage ran,
+            # else the (possibly line-deduped/filtered) input text
+            if cut_docs is not None:
+                src = cut_docs.select(
+                    F.col(id_col).alias("_sid"),
+                    F.col("text_cut").alias("_stext"),
+                )
+            else:
+                src = docs.select(
+                    F.col(id_col).alias("_sid"),
+                    F.col(text_col).alias("_stext"),
+                )
+            reps = cluster_ops.cluster_representatives(
+                assignments.select(F.col("id").alias("node"), "cluster_id"),
+                src.withColumn("_len", F.length("_stext")),
+                id_col="_sid",
+                order_col="_len",
+            )
+            counts = pii.pii_count_cols(F.col("_stext"))
+            return (
+                reps.join(src, "_sid")
+                .select(
+                    F.col("_sid").alias(id_col),
+                    "cluster_id",
+                    "n_members",
+                    *[c.alias(n) for n, c in counts.items()],
+                    pii.redact(F.col("_stext")).alias(text_col),
+                )
+            )
+
+        redacted = com.stage("pii_redacted", build_pii_redacted)
+
     return PipelineResult(
         payload, candidates, verified, edges, assignments, com, spans,
-        cut_docs,
+        cut_docs, redacted,
     )

@@ -85,6 +85,10 @@ def main() -> None:
                     help="pre-stage: drop docs failing the published "
                          "Gopher repetition thresholds (zero-shuffle "
                          "kernel map)")
+    ap.add_argument("--redact-output", default=None,
+                    help="post-stage: write the SHIPPED corpus — one "
+                         "keep-best representative per cluster, PII "
+                         "masked (functions/pii.py) — to this path")
     ap.add_argument("--compact-lines", action="store_true",
                     help="periodic batch compaction for a STREAMED "
                          "workdir: corpus-global boilerplate line removal "
@@ -246,12 +250,15 @@ def main() -> None:
         line_dedup_max_doc_freq=args.line_dedup_max_doc_freq,
         gopher_filter=args.gopher_filter,
         url_dedup_col=args.url_col if args.url_dedup else None,
+        pii_redact=args.redact_output is not None,
     )
     tables.write_table(res.assignments, args.output, args.table_format)
     if res.spans is not None and args.spans_output:
         tables.write_table(res.spans, args.spans_output, args.table_format)
     if res.cut_docs is not None and args.cut_output:
         tables.write_table(res.cut_docs, args.cut_output, args.table_format)
+    if res.redacted is not None and args.redact_output:
+        tables.write_table(res.redacted, args.redact_output, args.table_format)
     n = res.assignments.count()
     n_clusters = res.assignments.select("cluster_id").distinct().count()
     wall = time.monotonic() - t0

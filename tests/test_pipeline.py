@@ -267,3 +267,46 @@ def test_spark_submit_py_files_ship_contract(tmp_path):
     second = run()  # same workdir: every stage must resume, same output
     assert all(s["resumed"] for s in second["stages"])
     assert second["clusters"] == first["clusters"]
+
+
+def test_pipeline_pii_redact_stage_ships_masked_representatives(
+    spark, tmp_path
+):
+    """pii_redact=True emits one keep-best (longest text) representative
+    per cluster with PII masked, as a committed resumable stage."""
+    base = " ".join(f"tok{i}" for i in range(60))
+    dup_long = base + " email me at alice@example.com today"
+    uniq = (
+        " ".join(f"other{i}" for i in range(40))
+        + " server 10.1.2.3 call (415) 555-0123"
+    )
+    docs = spark.createDataFrame(
+        [(0, base), (1, dup_long), (2, uniq)],
+        "doc_id bigint, text string",
+    )
+    wd = str(tmp_path / "wd")
+    r1 = run_pipeline(
+        spark, docs, DedupConfig(), workdir=wd, run_id="a", pii_redact=True
+    )
+    rows = {r["doc_id"]: r for r in r1.redacted.collect()}
+    # 2 clusters: {0,1} and {2}; representative of the dup cluster is the
+    # LONGER doc 1, and the whole-corpus membership is accounted for
+    assert set(rows) == {1, 2}
+    assert rows[1]["n_members"] == 2 and rows[2]["n_members"] == 1
+    # masking is the last transform: placeholders in, raw PII out
+    assert "<EMAIL>" in rows[1]["text"] and "@" not in rows[1]["text"]
+    assert rows[1]["n_email"] == 1
+    assert "<IP>" in rows[2]["text"] and "<PHONE>" in rows[2]["text"]
+    assert rows[2]["n_ipv4"] == 1 and rows[2]["n_phone"] == 1
+    assert rows[1]["text"].startswith(base)  # non-PII bytes untouched
+    # resumable: a second run with the same workdir replays the commit
+    r2 = run_pipeline(
+        spark, docs, DedupConfig(), workdir=wd, run_id="a", pii_redact=True
+    )
+    assert {tuple(r) for r in r2.redacted.collect()} == {
+        tuple(r) for r in r1.redacted.collect()
+    }
+    assert any(
+        e["stage"] == "pii_redacted" and e["resumed"]
+        for e in r2.committer.events
+    )
