@@ -30,6 +30,9 @@ from entity_deduplication_hack_main_spark.functions import (
     pii as pii_fn,
 )
 from entity_deduplication_hack_main_spark.functions import (
+    lm as lm_fn,
+)
+from entity_deduplication_hack_main_spark.functions import (
     represent,
     textnorm,
     textstats,
@@ -586,6 +589,16 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quality"
         ),
     )
+
+
+@register("unigram_lm_scores", lm_fn.sql_unigram_scores())
+def unigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity gate (functions/lm.py): in-corpus unigram
+    LM mean log-probability per doc + exact head/middle/tail terciles
+    (the ntile oracle twin; production uses perplexity_buckets)."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = lm_fn.unigram_logprob(docs)
+    return lm_fn.perplexity_buckets_exact(scored)
 
 
 # ===========================================================================
