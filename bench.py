@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "semantic_dedup_flags",
     "dup_ngram_stats",
     "bm25_search",
+    "unigram_lm_scores",
     "lsh_dedup_clusters",
     "token_stats",
     "quality_scores",
