@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "dup_ngram_stats",
     "bm25_search",
     "unigram_lm_scores",
+    "pack_plan_docs",
     "lsh_dedup_clusters",
     "token_stats",
     "quality_scores",

@@ -52,6 +52,9 @@ from entity_deduplication_hack_main_spark.operators import (
 )
 from entity_deduplication_hack_main_spark.operators import lsh as lsh_op
 from entity_deduplication_hack_main_spark.operators import (
+    packing as packing_op,
+)
+from entity_deduplication_hack_main_spark.operators import (
     sampling as sampling_op,
 )
 from entity_deduplication_hack_main_spark.operators import (
@@ -589,6 +592,15 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quality"
         ),
     )
+
+
+@register("pack_plan_docs", packing_op.sql_pack_plan())
+def pack_plan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing planner (operators/packing.py): per-doc
+    coordinates in the hash-sharded concat-and-chunk token stream —
+    the md5 twin of the xxhash64 production path (same plan shape)."""
+    docs = _t(spark, sf_dir, "documents")
+    return packing_op.pack_plan(docs, hash_strategy="md5")
 
 
 @register("unigram_lm_scores", lm_fn.sql_unigram_scores())

@@ -102,9 +102,12 @@ def adaptive_threshold(n_fields: Column) -> Column:
 
 
 def sql_adaptive_threshold(n: str) -> str:
+    # ::DOUBLE: bare literals type the CASE as DECIMAL in DuckDB, which
+    # the driver's schema/value-hash compare would flag against Spark's
+    # DOUBLE column even though every value is numerically equal
     return (
-        f"CASE WHEN {n} = 1 THEN 0.4 WHEN {n} = 2 THEN 0.55 "
-        f"WHEN {n} = 3 THEN 0.7 WHEN {n} = 4 THEN 0.8 ELSE 0.85 END"
+        f"(CASE WHEN {n} = 1 THEN 0.4 WHEN {n} = 2 THEN 0.55 "
+        f"WHEN {n} = 3 THEN 0.7 WHEN {n} = 4 THEN 0.8 ELSE 0.85 END)::DOUBLE"
     )
 
 
