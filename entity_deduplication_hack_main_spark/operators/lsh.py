@@ -35,6 +35,65 @@ def candidate_probability(jaccard: float, config: DedupConfig) -> float:
     return 1.0 - (1.0 - jaccard**config.rows_per_band) ** config.bands
 
 
+def plan_bands(
+    num_perms: int,
+    threshold: float,
+    min_p_at_threshold: float = 0.99,
+    fn_weight: float = 10.0,
+    fp_weight: float = 1.0,
+    grid: int = 1000,
+) -> list[dict]:
+    """Choose (bands, rows_per_band) for a *num_perms*-perm MinHash at a
+    target Jaccard *threshold*. Enumerates every ``b*r == num_perms``
+    factorization; plans meeting the recall gate — P(candidate) ≥
+    *min_p_at_threshold* AT the threshold, the north rule's dup-pair
+    recall requirement stated analytically — rank first, and within the
+    gate the weighted S-curve error breaks ties:
+
+        fn_weight * ∫_t^1 (1 − P(s)) ds   (true pairs never bucketed)
+      + fp_weight * ∫_0^t P(s) ds         (spurious candidates)
+
+    with P(s) = 1 − (1 − s^r)^b integrated numerically (midpoint rule,
+    *grid* points). The gate matters: the unconstrained area minimum at
+    t=0.7/128 perms is (16 bands × 8 rows) with P(t) = 0.61 — a plan
+    that silently drops 4 of 10 threshold-grade duplicate pairs; the
+    gated pick is (32 × 4), P(t) = 0.9998, the shipped DedupConfig. FN
+    is weighted above FP in the tie-break because a missed duplicate is
+    unrecoverable while a false candidate costs one verify comparison
+    (Leskovec/Rajaraman/Ullman, MMDS ch. 3). Pure driver arithmetic —
+    never touches data; every plan is returned with its FN/FP areas so
+    the trade-off is auditable; ``[0]`` is the pick."""
+    plans = []
+    for r in range(1, num_perms + 1):
+        if num_perms % r:
+            continue
+        b = num_perms // r
+        fn_area = fp_area = 0.0
+        for i in range(grid):
+            s = (i + 0.5) / grid
+            p = 1.0 - (1.0 - s**r) ** b
+            if s >= threshold:
+                fn_area += (1.0 - p) / grid
+            else:
+                fp_area += p / grid
+        p_t = 1.0 - (1.0 - threshold**r) ** b
+        plans.append(
+            {
+                "bands": b,
+                "rows_per_band": r,
+                "fn_area": round(fn_area, 6),
+                "fp_area": round(fp_area, 6),
+                "error": round(fn_weight * fn_area + fp_weight * fp_area, 6),
+                "p_at_threshold": round(p_t, 6),
+                "meets_recall_gate": p_t >= min_p_at_threshold,
+            }
+        )
+    plans.sort(
+        key=lambda p: (not p["meets_recall_gate"], p["error"], p["rows_per_band"])
+    )
+    return plans
+
+
 def band_hashes(
     df: DataFrame,
     config: DedupConfig,
