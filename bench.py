@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "bm25_search",
     "unigram_lm_scores",
     "pack_plan_docs",
+    "curation_report",
     "lsh_dedup_clusters",
     "token_stats",
     "quality_scores",

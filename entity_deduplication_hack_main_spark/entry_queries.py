@@ -613,6 +613,91 @@ def unigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_fn.perplexity_buckets_exact(scored)
 
 
+_LANGS = ("en", "de", "fr", "es", "nl")
+
+
+def _sql_curation_report() -> str:
+    g = textstats.sql_gopher_quality("text")
+    pii = pii_fn.sql_pii_count_exprs("text")
+    n_pii = "(" + " + ".join(pii.values()) + ")"
+    rat = ", ".join(
+        f"round({textstats.sql_stopword_ratio('text', lg)}, 6) AS r_{lg}"
+        for lg in _LANGS
+    )
+    fp = textstats.sql_fingerprint("text")
+    return f"""
+WITH _g AS (SELECT doc_id, {', '.join(g)} FROM documents),
+_l AS (SELECT doc_id, {rat} FROM documents),
+_p AS (
+  SELECT doc_id, {n_pii}::BIGINT AS n_pii,
+         {textstats.sql_token_count('text')}::BIGINT AS n_tokens
+  FROM documents
+),
+_f AS (
+  SELECT doc_id,
+         count(*) OVER (PARTITION BY {fp}) AS n_fp,
+         min(doc_id) OVER (PARTITION BY {fp}) AS rep
+  FROM documents
+)
+SELECT d.doc_id, n_tokens,
+       CASE WHEN r_en >= greatest(r_de, r_fr, r_es, r_nl) THEN 'en'
+            WHEN r_de >= greatest(r_fr, r_es, r_nl) THEN 'de'
+            WHEN r_fr >= greatest(r_es, r_nl) THEN 'fr'
+            WHEN r_es >= r_nl THEN 'es' ELSE 'nl' END AS pred_lang,
+       {textstats.SQL_GOPHER_QUALITY_PASS} AS gopher_pass,
+       (n_fp > 1) AS is_exact_dup,
+       (rep = d.doc_id) AS is_rep,
+       n_pii,
+       ({textstats.SQL_GOPHER_QUALITY_PASS} AND rep = d.doc_id) AS keep
+FROM documents d
+JOIN _g USING (doc_id) JOIN _l USING (doc_id)
+JOIN _p USING (doc_id) JOIN _f USING (doc_id)
+"""
+
+
+@register("curation_report", _sql_curation_report())
+def curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation decision table — one row per doc composing the
+    engine's signals the way a data curator ships them: token count,
+    predicted language (first-max stopword-ratio chain), Gopher quality
+    verdict, exact-dup membership + representative flag, PII match
+    count, and the keep rule (quality pass AND exact-dup
+    representative). Every signal reuses the individually-oracled
+    operator; this query proves they compose in ONE plan (the window is
+    fingerprint-partitioned; everything else is per-row JVM)."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.withColumn("_toks", textstats.tokens_col(F.col("text")))
+    rat = {
+        lg: F.round(textstats.stopword_ratio_from(F.col("_toks"), lg), 6)
+        for lg in _LANGS
+    }
+    pred = (
+        F.when(rat["en"] >= F.greatest(rat["de"], rat["fr"], rat["es"], rat["nl"]), "en")
+        .when(rat["de"] >= F.greatest(rat["fr"], rat["es"], rat["nl"]), "de")
+        .when(rat["fr"] >= F.greatest(rat["es"], rat["nl"]), "fr")
+        .when(rat["es"] >= rat["nl"], "es")
+        .otherwise("nl")
+    )
+    g = textstats.gopher_quality_cols(F.col("text"))
+    gpass = textstats.gopher_quality_pass(g)
+    counts = pii_fn.pii_count_cols(F.col("text"))
+    n_pii = None
+    for c in counts.values():
+        n_pii = c if n_pii is None else n_pii + c
+    w = Window.partitionBy(textstats.fingerprint(F.col("text")))
+    is_rep = F.min("doc_id").over(w) == F.col("doc_id")
+    return d.select(
+        "doc_id",
+        F.size("_toks").cast("bigint").alias("n_tokens"),
+        pred.alias("pred_lang"),
+        gpass.alias("gopher_pass"),
+        (F.count("*").over(w) > 1).alias("is_exact_dup"),
+        is_rep.alias("is_rep"),
+        n_pii.cast("bigint").alias("n_pii"),
+        (gpass & is_rep).alias("keep"),
+    )
+
+
 # ===========================================================================
 # C. Relational operator coverage (TPC-H-ish tables)
 # ===========================================================================
