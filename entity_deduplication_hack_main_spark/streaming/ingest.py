@@ -84,6 +84,13 @@ not be idempotent across re-runs).
    re-verifies FLIPPED the estimate's call, and the below-band kept tail)
    so estimate drift is observable (r03 verdict #7).
 
+Benchmark decontamination at ingest: pass ``holdout=`` to drop batch
+docs contaminated against an eval corpus (exact fp + band-collision →
+exact-Jaccard channels via operators/decontaminate.py, holdout
+broadcast) BEFORE any dedup state or output sees them; drops land in
+the lineage row as ``n_contaminated``. The holdout stays driver-free:
+its representation is computed once per StreamingDedup and cached.
+
 Idempotency: every write is a *dynamic partition overwrite* keyed on
 `batch_id`, and reads of the indexes exclude the current batch_id — a
 foreachBatch retry (or a crash between the output and index writes)
@@ -120,6 +127,9 @@ from entity_deduplication_hack_main_spark.config import DedupConfig
 from entity_deduplication_hack_main_spark.functions import represent, textstats
 from entity_deduplication_hack_main_spark.functions import simhash as shash
 from entity_deduplication_hack_main_spark.operators import cluster as cc_op
+from entity_deduplication_hack_main_spark.operators import (
+    decontaminate as decon_op,
+)
 from entity_deduplication_hack_main_spark.operators import hamming as ham_op
 from entity_deduplication_hack_main_spark.operators import (
     linededup as linededup_op,
@@ -170,7 +180,19 @@ class StreamingDedup:
         id_col: str = "url",
         near_dup: bool = True,
         containment_threshold: float = 0.9,
+        holdout: DataFrame | None = None,
+        holdout_threshold: float | None = None,
     ) -> None:
+        """holdout: optional benchmark/eval corpus (same id/text column
+        names as the stream). When given, every micro-batch is
+        DECONTAMINATED before any index write: batch docs matching a
+        holdout doc exactly (fingerprint) or nearly (band collision →
+        exact Jaccard ≥ holdout_threshold, default jaccard_similar) are
+        dropped via operators/decontaminate.py with ``broadcast_ref``
+        — the holdout is small by definition, the batch never shuffles
+        for it. With ``near_dup=False`` only the exact channel applies
+        (no batch representation exists to band-join). Drops are
+        counted in the lineage row (``n_contaminated``)."""
         self.spark = spark
         self.workdir = workdir
         self.config = config or DedupConfig()
@@ -178,12 +200,24 @@ class StreamingDedup:
         self.id_col = id_col
         self.near_dup = near_dup
         self.containment_threshold = containment_threshold
+        self.holdout = holdout
+        self.holdout_threshold = holdout_threshold
+        self._holdout_payload: DataFrame | None = None
         self.index_path = os.path.join(workdir, "_index")
         self.band_path = os.path.join(workdir, "_band_index")
         self.winnow_path = os.path.join(workdir, "_winnow_index")
         self.out_path = os.path.join(workdir, "deduped")
         self.lineage_path = os.path.join(workdir, "_streaming_lineage")
         self.checkpoint = os.path.join(workdir, "_checkpoint")
+
+    def _holdout_rep(self) -> DataFrame:
+        """The holdout corpus's representation payload, computed once per
+        StreamingDedup instance and cached (it is read every batch)."""
+        if self._holdout_payload is None:
+            self._holdout_payload = represent.with_representation(
+                self.holdout, self.config, self.id_col, self.text_col
+            ).cache()
+        return self._holdout_payload
 
     # --- committed state -------------------------------------------------
 
@@ -329,6 +363,14 @@ class StreamingDedup:
         ).localCheckpoint(eager=True)
 
         if not self.near_dup:
+            if self.holdout is not None:
+                # exact decontamination channel only: no batch
+                # representation exists on this path (docstring)
+                fresh = fresh.join(
+                    F.broadcast(self._holdout_rep().select("fp").distinct()),
+                    "fp",
+                    "left_anti",
+                )
             self._overwrite_partition(fresh.drop("fp"), self.out_path, batch_id)
             self._write_index(
                 fresh.select(F.col(self.id_col).alias("id"), "fp"),
@@ -344,6 +386,26 @@ class StreamingDedup:
             fresh, cfg, self.id_col, self.text_col
         ).cache()
         nbits = 64  # xxhash64 strategy on the streaming path
+
+        # decontamination gate (docstring): flag-and-drop vs the holdout
+        # BEFORE any dedup state or output sees the batch — both channels
+        # (exact fp + band-collision→exact-Jaccard), holdout broadcast
+        n_contaminated = 0
+        _payload_raw = None
+        if self.holdout is not None:
+            flagged = decon_op.decontaminate(
+                payload,
+                self._holdout_rep(),
+                cfg,
+                threshold=self.holdout_threshold,
+                broadcast_ref=True,
+            ).select(F.col("doc_id").alias("id"))
+            n_contaminated = flagged.count()
+            if n_contaminated:
+                _payload_raw = payload
+                payload = payload.join(
+                    F.broadcast(flagged), "id", "left_anti"
+                ).cache()
 
         # near-dup WITHIN the batch: all three batch recall channels, the
         # batch pipeline's full measure set and edge rule (r03 verdict #3),
@@ -583,6 +645,7 @@ class StreamingDedup:
         counts = {
             "n_input": batch.count(),
             "n_fresh": fresh.count(),
+            "n_contaminated": n_contaminated,
             "n_inbatch_drop": in_batch_drop.count(),
             "mh_candidates": scored.count(),
             "mh_sure_drop": sure_drop.count(),
@@ -609,6 +672,8 @@ class StreamingDedup:
             payload, kept, cand, scored, bl_meas, sh_drop, wn_cand, wn_drop
         ):
             df.unpersist()
+        if _payload_raw is not None:
+            _payload_raw.unpersist()
 
     def _exact_pair_measures(
         self, pairs: DataFrame, batch_id: int, id_type: str

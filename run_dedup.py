@@ -54,6 +54,11 @@ def main() -> None:
                          "pipeline. Requires --workdir.")
     ap.add_argument("--streaming-schema",
                     default="url string, warc_ts timestamp, text string")
+    ap.add_argument("--holdout", default=None,
+                    help="streaming mode: parquet path of a benchmark/eval "
+                         "corpus (same id/text columns); every micro-batch "
+                         "is decontaminated against it before any state "
+                         "write (drops recorded as n_contaminated)")
     ap.add_argument("--table-format", choices=["parquet", "iceberg"],
                     default=None,
                     help="input/output table format; default "
@@ -199,9 +204,13 @@ def main() -> None:
             StreamingDedup,
         )
 
+        holdout = (
+            spark.read.parquet(args.holdout) if args.holdout else None
+        )
         sd = StreamingDedup(
             spark, args.workdir, config,
             text_col=args.text_col, id_col=args.id_col,
+            holdout=holdout,
         )
         t0 = time.monotonic()
         sd.start(args.streaming_source, args.streaming_schema).awaitTermination()
@@ -217,7 +226,12 @@ def main() -> None:
         from entity_deduplication_hack_main_spark.plans import fsutil
 
         if fsutil.exists(spark, sd.lineage_path):
-            lin = spark.read.parquet(sd.lineage_path)
+            # mergeSchema: lineage columns grow across engine versions
+            # (e.g. n_contaminated); a resumed legacy workdir holds
+            # mixed-schema batch partitions
+            lin = spark.read.option("mergeSchema", "true").parquet(
+                sd.lineage_path
+            )
             agg = lin.groupBy().sum().collect()[0].asDict()
             result["lineage_totals"] = {
                 k.removeprefix("sum(").removesuffix(")"): v

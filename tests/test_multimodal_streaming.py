@@ -468,3 +468,70 @@ def test_streaming_line_dedup_compaction(spark, tmp_path):
         assert cleaned[u]["n_removed"] == 1
     again = {r["url"]: r["text"] for r in sd.line_dedup_compaction(max_doc_freq=3).collect()}
     assert again == {u: b for u, b in bodies.items()}
+
+
+def test_streaming_holdout_decontamination(spark, tmp_path):
+    """holdout= drops contaminated batch docs before any state write:
+    exact copies via the fingerprint channel, near copies via the
+    band-collision -> exact-Jaccard channel; counts land in lineage."""
+    wd = str(tmp_path / "wd")
+    schema = "url string, warc_ts timestamp, text string"
+    bench_doc = " ".join(f"eval{i}" for i in range(80))
+    holdout = spark.createDataFrame(
+        [("h1", None, bench_doc)], schema
+    ).select("url", "text")
+    near = " ".join(
+        ("evalXX" if i % 20 == 0 else f"eval{i}") for i in range(80)
+    )  # 4/80 tokens changed: exact Jaccard well above 0.7
+    sd = StreamingDedup(
+        spark, wd, config=_sd_config(), holdout=holdout
+    )
+    sd.process_batch(
+        spark.createDataFrame(
+            [
+                ("uExact", None, bench_doc),
+                ("uNear", None, near),
+                ("uClean", None, " ".join(f"clean{i}" for i in range(60))),
+            ],
+            schema,
+        ),
+        0,
+    )
+    sd.process_batch(
+        spark.createDataFrame(
+            [
+                ("uExact2", None, bench_doc),
+                ("uClean2", None, " ".join(f"other{i}" for i in range(60))),
+            ],
+            schema,
+        ),
+        1,
+    )
+    urls = {r["url"] for r in spark.read.parquet(sd.out_path).collect()}
+    assert urls == {"uClean", "uClean2"}
+    lin = spark.read.parquet(sd.lineage_path).collect()
+    total = sum(r["n_contaminated"] for r in lin)
+    assert total == 3
+    # contaminated docs must not have leaked into ANY dedup index
+    idx = spark.read.parquet(sd.index_path)
+    assert idx.where(idx.id.isin("uExact", "uNear", "uExact2")).count() == 0
+
+
+def test_streaming_holdout_exact_only_path(spark, tmp_path):
+    """near_dup=False: the fingerprint channel still decontaminates."""
+    wd = str(tmp_path / "wd")
+    schema = "url string, warc_ts timestamp, text string"
+    bench_doc = " ".join(f"eval{i}" for i in range(80))
+    holdout = spark.createDataFrame([("h1", None, bench_doc)], schema)
+    sd = StreamingDedup(
+        spark, wd, config=_sd_config(), near_dup=False, holdout=holdout
+    )
+    sd.process_batch(
+        spark.createDataFrame(
+            [("uExact", None, bench_doc), ("uClean", None, "fresh words here")],
+            schema,
+        ),
+        0,
+    )
+    urls = {r["url"] for r in spark.read.parquet(sd.out_path).collect()}
+    assert urls == {"uClean"}
