@@ -17,7 +17,7 @@ ANN, language-ID, quality, token stats, fingerprints).
 from __future__ import annotations
 
 from collections.abc import Callable
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -381,6 +381,32 @@ def decontaminate_vs_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = p.where(F.col("id") % 10 != 0)
     ref = p.where(F.col("id") % 10 == 0)
     return decon_op.decontaminate(train, ref, CFG)
+
+
+_NGRAM13_CFG = replace(CFG, shingle_k=13)
+
+
+@register(
+    "ngram_overlap_contamination",
+    f"""
+WITH {represent.sql_repr_ctes(_NGRAM13_CFG)},
+{decon_op.sql_ngram_overlap_stats(
+        _NGRAM13_CFG, "{id} % 10 != 0", "{id} % 10 = 0", n=13
+    )}
+""",
+)
+def ngram_overlap_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Published-recipe n-gram overlap decontamination
+    (operators/decontaminate.py ngram_overlap_stats): per train doc, the
+    fraction of its distinct 13-grams occurring anywhere in the holdout
+    (GPT-3 appendix C's n; PaLM's 0.7 flag fraction) — catches partial
+    containment (a quoted eval question) that whole-doc channels miss."""
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    ref = docs.where(F.col("doc_id") % 10 == 0)
+    return decon_op.ngram_overlap_stats(
+        train, ref, CFG, n=13, hash_strategy="md5"
+    )
 
 
 @register(

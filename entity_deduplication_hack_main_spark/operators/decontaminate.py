@@ -36,6 +36,8 @@ Scale (100 TB train vs small holdout — the common shape):
 
 from __future__ import annotations
 
+import dataclasses
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -103,6 +105,116 @@ def decontaminate(
             F.coalesce("exact_ref", "near_ref").alias("ref_id"),
         )
     )
+
+
+def ngram_overlap_stats(
+    train_docs: DataFrame,
+    ref_docs: DataFrame,
+    config: DedupConfig,
+    n: int = 13,
+    flag_threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_strategy: str = "xxhash64",
+    broadcast_ref: bool = True,
+) -> DataFrame:
+    """Published-recipe n-gram overlap decontamination: per TRAIN doc, the
+    fraction of its distinct normalized word n-grams that occur anywhere
+    in the REFERENCE corpus (GPT-3 appendix C uses n=13 and drops any-hit
+    docs; PaLM flags docs with >= 70% of 8-grams contaminated). This is
+    the third channel next to :func:`decontaminate`'s exact-fp and
+    MinHash-band ones — it catches *partial* containment (an eval question
+    quoted inside a long page) that whole-doc Jaccard misses.
+
+    Inputs are raw doc tables; grams come from the ordered-shingle kernel
+    (functions/represent.py with_ordered_shingles) at shingle_k = n, so
+    gram hashing is the one rolling-polynomial identity shared with every
+    other channel. Output: one row per train doc —
+    (doc_id, n_grams, n_hit, overlap_frac, contaminated).
+
+    Scale shape (100 TB train vs small holdout): the reference gram set is
+    globally distinct and broadcast (``broadcast_ref``); the train side is
+    ONE kernel pass + explode of distinct grams + map-side broadcast mark
+    + partial-aggregating groupBy(id) — the only shuffle is one tiny
+    pre-aggregated row per doc. With ``broadcast_ref=False`` the mark
+    becomes a plain hash join on the gram key (holdout too big to ship).
+
+    Cross-engine note: the DuckDB twin (:func:`sql_ngram_overlap_stats`)
+    is exact for n <= 13 on the 'md5' strategy (60-bit token hashes keep
+    the HUGEINT polynomial under 2^126); the Spark side wraps mod 2^64 in
+    the kernel and accepts any n.
+    """
+    ncfg = dataclasses.replace(config, shingle_k=n)
+    from entity_deduplication_hack_main_spark.functions import represent
+
+    tg = represent.with_ordered_shingles(
+        train_docs, ncfg, id_col, text_col, hash_strategy
+    )
+    rg = represent.with_ordered_shingles(
+        ref_docs, ncfg, id_col, text_col, hash_strategy
+    )
+    ref_set = (
+        rg.select(F.explode("shingles").alias("g"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    marked = tg.select(
+        "id", F.explode(F.array_distinct("shingles")).alias("g")
+    ).join(F.broadcast(ref_set) if broadcast_ref else ref_set, "g", "left")
+    # one partial-aggregating pass: n_grams and n_hit from the same groupBy
+    # (every doc has >= 1 gram — the kernel emits a short-gram for docs
+    # below n tokens — so no doc drops out of the explode)
+    stats = marked.groupBy("id").agg(
+        F.count("*").alias("n_grams"),
+        F.coalesce(F.sum("_hit"), F.lit(0)).cast("bigint").alias("n_hit"),
+    )
+    frac = F.col("n_hit").cast("double") / F.col("n_grams").cast("double")
+    return stats.select(
+        F.col("id").alias("doc_id"),
+        "n_grams",
+        "n_hit",
+        frac.alias("overlap_frac"),
+        (frac >= F.lit(float(flag_threshold))).alias("contaminated"),
+    )
+
+
+def sql_ngram_overlap_stats(
+    config: DedupConfig,
+    train_pred: str,
+    ref_pred: str,
+    n: int = 13,
+    flag_threshold: float = 0.7,
+) -> str:
+    """DuckDB oracle for :func:`ngram_overlap_stats` over `documents`,
+    replaying the SAME rolling-polynomial grams at shingle_k = n via
+    represent.sql_repr_ctes (emit it with the n-gram config — this
+    fragment expects ``_sh`` in scope). train_pred / ref_pred are
+    predicate templates over an ``{id}`` placeholder, formatted (never
+    string-replaced)."""
+    t = float(flag_threshold)
+    return f"""
+_tg AS (
+  SELECT id, unnest(list_distinct(sh)) AS g FROM _sh
+  WHERE ({train_pred.format(id='id')})
+),
+_rg AS (
+  SELECT DISTINCT unnest(sh) AS g FROM _sh
+  WHERE ({ref_pred.format(id='id')})
+),
+_hit AS (
+  SELECT t.id, count(*) AS n_hit FROM _tg t JOIN _rg r USING (g)
+  GROUP BY t.id
+)
+SELECT s.id AS doc_id,
+       len(list_distinct(s.sh))::BIGINT AS n_grams,
+       coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+       (coalesce(h.n_hit, 0)::DOUBLE / len(list_distinct(s.sh))::DOUBLE)
+         AS overlap_frac,
+       ((coalesce(h.n_hit, 0)::DOUBLE / len(list_distinct(s.sh))::DOUBLE)
+          >= {t}) AS contaminated
+FROM _sh s LEFT JOIN _hit h ON s.id = h.id
+WHERE ({train_pred.format(id='s.id')})
+"""
 
 
 def sql_decontaminate(

@@ -1187,6 +1187,77 @@ def test_decontaminate_threshold_override(spark):
     assert got == {1: "exact"}
 
 
+def test_ngram_overlap_catches_partial_containment(spark):
+    """The n-gram channel's raison d'être: a 200-token train doc QUOTING a
+    15-token run of a ref doc has whole-doc Jaccard << any threshold (the
+    exact/near channels miss it) but n_hit > 0 at n=13; a clean doc and a
+    doc quoting only 12 tokens (below n) report zero hits; the full-copy
+    doc reports overlap_frac 1.0 and flags contaminated."""
+    from entity_deduplication_hack_main_spark.config import TESTDATA_CONFIG
+    from entity_deduplication_hack_main_spark.operators import decontaminate
+
+    eval_doc = " ".join(f"bench{i}" for i in range(40))
+    quote15 = " ".join(f"bench{i}" for i in range(15))
+    quote12 = " ".join(f"bench{i}" for i in range(20, 32))
+    filler = lambda tag, m: " ".join(f"{tag}{i}" for i in range(m))  # noqa: E731
+    ref = spark.createDataFrame(
+        [(100, eval_doc)], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, f"{filler('aa', 90)} {quote15} {filler('ab', 95)}"),
+            (2, f"{filler('ba', 90)} {quote12} {filler('bb', 98)}"),
+            (3, filler("cc", 200)),
+            (4, eval_doc),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in decontaminate.ngram_overlap_stats(
+            train, ref, TESTDATA_CONFIG, n=13
+        ).collect()
+    }
+    assert got[1]["n_hit"] == 15 - 13 + 1 and not got[1]["contaminated"]
+    assert got[2]["n_hit"] == 0 and got[3]["n_hit"] == 0
+    assert got[4]["overlap_frac"] == 1.0 and got[4]["contaminated"]
+    # whole-doc near channel indeed misses the quote (J(1, 100) ~ 0.07)
+    from entity_deduplication_hack_main_spark.functions import represent
+
+    tp = represent.with_representation(train, TESTDATA_CONFIG, "doc_id", "text")
+    rp = represent.with_representation(ref, TESTDATA_CONFIG, "doc_id", "text")
+    whole = {
+        r["doc_id"] for r in decontaminate.decontaminate(tp, rp, TESTDATA_CONFIG).collect()
+    }
+    assert 1 not in whole and 4 in whole
+
+
+def test_ngram_overlap_broadcast_plan_and_plain_parity(spark):
+    """broadcast_ref=True (default) marks train grams map-side — plan shows
+    a broadcast join, no cartesian/Python; broadcast_ref=False is
+    result-identical."""
+    from entity_deduplication_hack_main_spark.config import TESTDATA_CONFIG
+    from entity_deduplication_hack_main_spark.operators import decontaminate
+
+    ref = spark.createDataFrame(
+        [(100, " ".join(f"bench{i}" for i in range(40)))],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [(1, " ".join(f"bench{i}" for i in range(40))),
+         (2, " ".join(f"xx{i}" for i in range(40)))],
+        "doc_id long, text string",
+    )
+    b = decontaminate.ngram_overlap_stats(train, ref, TESTDATA_CONFIG, n=8)
+    p = decontaminate.ngram_overlap_stats(
+        train, ref, TESTDATA_CONFIG, n=8, broadcast_ref=False
+    )
+    assert sorted(map(tuple, b.collect())) == sorted(map(tuple, p.collect()))
+    plan = b._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_gopher_quality_rules(spark):
     """The non-repetition Gopher rules: a normal English doc passes; docs
     violating one rule each (too short, bullet-heavy, symbol-heavy,
