@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "winnow_candidate_pairs",
     "ngram_jaccard_pairs",
     "decontaminate_vs_holdout",
+    "ngram_overlap_contamination",
     "exact_substring_spans",
     "line_dedup_docs",
     "gopher_repetition_scores",

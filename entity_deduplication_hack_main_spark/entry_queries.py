@@ -460,6 +460,28 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_sample_weights",
+    f"""
+WITH _cc AS ({cc_op.sql_connected_components(
+        _EDGES_SQL, "SELECT doc_id AS id FROM documents"
+    )}),
+_sz AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size
+        FROM _cc GROUP BY cluster_id)
+SELECT c.node AS doc_id, c.cluster_id, s.cluster_size,
+       (1.0::DOUBLE / s.cluster_size::DOUBLE) AS weight
+FROM _cc c JOIN _sz s USING (cluster_id)
+""",
+)
+def dedup_sample_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication (operators/cluster.py cluster_sample_weights):
+    per-doc training sampling weight 1/cluster_size over the end-to-end
+    clustering — the reweight-don't-delete curation alternative; each
+    distinct content contributes one unit of training mass."""
+    asn = lsh_dedup_clusters(spark, sf_dir)
+    return cc_op.cluster_sample_weights(asn)
+
+
+@register(
     "dup_rate_by_source",
     f"""
 WITH _cc AS ({cc_op.sql_connected_components(

@@ -203,6 +203,32 @@ def cluster_sizes(assignments: DataFrame) -> DataFrame:
     return assignments.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
 
 
+def cluster_sample_weights(assignments: DataFrame) -> DataFrame:
+    """Soft deduplication: instead of DROPPING duplicates, emit a per-doc
+    training sampling weight w = 1 / cluster_size, so every distinct
+    content cluster contributes exactly one unit of training mass however
+    many copies the crawl holds (the reweight-don't-delete alternative in
+    the dedup literature, e.g. SoftDedup). Unique docs keep w = 1.
+
+    Output: (doc_id, cluster_id, cluster_size, weight) — one row per doc;
+    sum(weight) == number of clusters.
+
+    Scale: one partial-aggregating groupBy(cluster_id) count, then a
+    shuffle join back on cluster_id — the count side is one row per
+    cluster, broadcastable downstream; no windows, so a boilerplate
+    mega-cluster costs its combiners one row per map task.
+    """
+    sizes = assignments.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return assignments.join(sizes, "cluster_id").select(
+        F.col("node").alias("doc_id"),
+        "cluster_id",
+        "cluster_size",
+        (F.lit(1.0) / F.col("cluster_size").cast("double")).alias("weight"),
+    )
+
+
 def cluster_representatives(
     assignments: DataFrame,
     docs: DataFrame,

@@ -1086,6 +1086,24 @@ def test_cluster_representatives_matches_window_rule(spark):
     assert got.count() == 37
 
 
+def test_cluster_sample_weights_unit_mass_per_cluster(spark):
+    """Soft dedup: w = 1/cluster_size, one row per doc, unique docs keep
+    w = 1, and the total training mass equals the number of clusters."""
+    from entity_deduplication_hack_main_spark.operators import cluster as cc
+
+    asn = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 11), (5, 12), (6, 12)],
+        "node long, cluster_id long",
+    )
+    got = {r["doc_id"]: r for r in cc.cluster_sample_weights(asn).collect()}
+    assert len(got) == 6
+    assert got[1]["weight"] == got[2]["weight"] == got[3]["weight"] == 1 / 3
+    assert got[4]["weight"] == 1.0 and got[4]["cluster_size"] == 1
+    assert got[5]["weight"] == 0.5
+    total = sum(r["weight"] for r in got.values())
+    assert abs(total - 3.0) < 1e-12
+
+
 def test_shingle_sets_match_payload(spark):
     """The light ordered-shingle channel produces BIT-IDENTICAL shingle
     sets to the full payload kernel, including empty/short-doc edges."""
