@@ -107,9 +107,29 @@ def decontaminate(
     )
 
 
+def ngram_set(
+    docs: DataFrame,
+    config: DedupConfig,
+    n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_strategy: str = "xxhash64",
+) -> DataFrame:
+    """The corpus's distinct word-n-gram hash set, one column ``g`` —
+    ordered-shingle kernel at shingle_k = n. Callers that probe the same
+    reference repeatedly (streaming ingest) compute this once and cache."""
+    ncfg = dataclasses.replace(config, shingle_k=n)
+    from entity_deduplication_hack_main_spark.functions import represent
+
+    rg = represent.with_ordered_shingles(
+        docs, ncfg, id_col, text_col, hash_strategy
+    )
+    return rg.select(F.explode("shingles").alias("g")).distinct()
+
+
 def ngram_overlap_stats(
     train_docs: DataFrame,
-    ref_docs: DataFrame,
+    ref_docs: DataFrame | None,
     config: DedupConfig,
     n: int = 13,
     flag_threshold: float = 0.7,
@@ -117,6 +137,7 @@ def ngram_overlap_stats(
     text_col: str = "text",
     hash_strategy: str = "xxhash64",
     broadcast_ref: bool = True,
+    ref_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Published-recipe n-gram overlap decontamination: per TRAIN doc, the
     fraction of its distinct normalized word n-grams that occur anywhere
@@ -143,6 +164,10 @@ def ngram_overlap_stats(
     is exact for n <= 13 on the 'md5' strategy (60-bit token hashes keep
     the HUGEINT polynomial under 2^126); the Spark side wraps mod 2^64 in
     the kernel and accepts any n.
+
+    ``ref_grams``: a precomputed :func:`ngram_set` result (same n and
+    hash_strategy) — pass it (cached) when probing one reference
+    repeatedly (streaming ingest); ``ref_docs`` is then ignored.
     """
     ncfg = dataclasses.replace(config, shingle_k=n)
     from entity_deduplication_hack_main_spark.functions import represent
@@ -150,14 +175,11 @@ def ngram_overlap_stats(
     tg = represent.with_ordered_shingles(
         train_docs, ncfg, id_col, text_col, hash_strategy
     )
-    rg = represent.with_ordered_shingles(
-        ref_docs, ncfg, id_col, text_col, hash_strategy
-    )
-    ref_set = (
-        rg.select(F.explode("shingles").alias("g"))
-        .distinct()
-        .withColumn("_hit", F.lit(1))
-    )
+    if ref_grams is None:
+        ref_grams = ngram_set(
+            ref_docs, config, n, id_col, text_col, hash_strategy
+        )
+    ref_set = ref_grams.withColumn("_hit", F.lit(1))
     marked = tg.select(
         "id", F.explode(F.array_distinct("shingles")).alias("g")
     ).join(F.broadcast(ref_set) if broadcast_ref else ref_set, "g", "left")

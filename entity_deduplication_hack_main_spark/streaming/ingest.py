@@ -182,6 +182,8 @@ class StreamingDedup:
         containment_threshold: float = 0.9,
         holdout: DataFrame | None = None,
         holdout_threshold: float | None = None,
+        holdout_ngram_n: int | None = None,
+        holdout_ngram_frac: float = 0.7,
     ) -> None:
         """holdout: optional benchmark/eval corpus (same id/text column
         names as the stream). When given, every micro-batch is
@@ -192,7 +194,18 @@ class StreamingDedup:
         — the holdout is small by definition, the batch never shuffles
         for it. With ``near_dup=False`` only the exact channel applies
         (no batch representation exists to band-join). Drops are
-        counted in the lineage row (``n_contaminated``)."""
+        counted in the lineage row (``n_contaminated``).
+
+        holdout_ngram_n: when set (e.g. 13, the GPT-3 recipe), a THIRD
+        decontamination channel runs on every batch: docs whose fraction
+        of distinct n-grams occurring anywhere in the holdout reaches
+        ``holdout_ngram_frac`` (PaLM's 0.7) are dropped — this catches a
+        batch doc QUOTING part of an eval doc, which neither whole-doc
+        channel sees. The holdout's gram set is computed once per
+        instance and cached; the per-batch cost is one gram-kernel pass
+        over the batch plus a broadcast mark (operators/decontaminate.py
+        ngram_overlap_stats). Applies on the ``near_dup=False`` path too
+        (the gram pass is independent of the MinHash payload)."""
         self.spark = spark
         self.workdir = workdir
         self.config = config or DedupConfig()
@@ -202,7 +215,10 @@ class StreamingDedup:
         self.containment_threshold = containment_threshold
         self.holdout = holdout
         self.holdout_threshold = holdout_threshold
+        self.holdout_ngram_n = holdout_ngram_n
+        self.holdout_ngram_frac = holdout_ngram_frac
         self._holdout_payload: DataFrame | None = None
+        self._holdout_grams: DataFrame | None = None
         self.index_path = os.path.join(workdir, "_index")
         self.band_path = os.path.join(workdir, "_band_index")
         self.winnow_path = os.path.join(workdir, "_winnow_index")
@@ -218,6 +234,36 @@ class StreamingDedup:
                 self.holdout, self.config, self.id_col, self.text_col
             ).cache()
         return self._holdout_payload
+
+    def _holdout_gram_set(self) -> DataFrame:
+        """The holdout's distinct n-gram hash set at holdout_ngram_n,
+        computed once per instance and cached (probed every batch)."""
+        if self._holdout_grams is None:
+            self._holdout_grams = decon_op.ngram_set(
+                self.holdout,
+                self.config,
+                self.holdout_ngram_n,
+                self.id_col,
+                self.text_col,
+            ).cache()
+        return self._holdout_grams
+
+    def _ngram_contaminated_ids(self, docs: DataFrame) -> DataFrame:
+        """ids (column named id_col) of batch docs whose distinct-n-gram
+        overlap fraction vs the holdout reaches holdout_ngram_frac."""
+        stats = decon_op.ngram_overlap_stats(
+            docs.select(self.id_col, self.text_col),
+            None,
+            self.config,
+            n=self.holdout_ngram_n,
+            flag_threshold=self.holdout_ngram_frac,
+            id_col=self.id_col,
+            text_col=self.text_col,
+            ref_grams=self._holdout_gram_set(),
+        )
+        return stats.where("contaminated").select(
+            F.col("doc_id").alias(self.id_col)
+        )
 
     # --- committed state -------------------------------------------------
 
@@ -361,6 +407,18 @@ class StreamingDedup:
         fresh = first.join(
             prior_fps.distinct(), "fp", "left_anti"
         ).localCheckpoint(eager=True)
+
+        # n-gram holdout channel (docstring): runs on BOTH paths, before
+        # any representation/state work — quoted-eval-span docs never get
+        # signatures computed, never reach an index
+        n_contaminated_ngram = 0
+        if self.holdout is not None and self.holdout_ngram_n is not None:
+            ng_flagged = self._ngram_contaminated_ids(fresh)
+            n_contaminated_ngram = ng_flagged.count()
+            if n_contaminated_ngram:
+                fresh = fresh.join(
+                    F.broadcast(ng_flagged), self.id_col, "left_anti"
+                ).localCheckpoint(eager=True)
 
         if not self.near_dup:
             if self.holdout is not None:
@@ -646,6 +704,7 @@ class StreamingDedup:
             "n_input": batch.count(),
             "n_fresh": fresh.count(),
             "n_contaminated": n_contaminated,
+            "n_contaminated_ngram": n_contaminated_ngram,
             "n_inbatch_drop": in_batch_drop.count(),
             "mh_candidates": scored.count(),
             "mh_sure_drop": sure_drop.count(),

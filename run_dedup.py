@@ -59,6 +59,12 @@ def main() -> None:
                          "corpus (same id/text columns); every micro-batch "
                          "is decontaminated against it before any state "
                          "write (drops recorded as n_contaminated)")
+    ap.add_argument("--holdout-ngram-n", type=int, default=None,
+                    help="with --holdout: also drop batch docs whose "
+                         "fraction of distinct n-grams found in the "
+                         "holdout reaches --holdout-ngram-frac (quoted "
+                         "eval spans; GPT-3 uses n=13)")
+    ap.add_argument("--holdout-ngram-frac", type=float, default=0.7)
     ap.add_argument("--table-format", choices=["parquet", "iceberg"],
                     default=None,
                     help="input/output table format; default "
@@ -211,6 +217,8 @@ def main() -> None:
             spark, args.workdir, config,
             text_col=args.text_col, id_col=args.id_col,
             holdout=holdout,
+            holdout_ngram_n=args.holdout_ngram_n,
+            holdout_ngram_frac=args.holdout_ngram_frac,
         )
         t0 = time.monotonic()
         sd.start(args.streaming_source, args.streaming_schema).awaitTermination()

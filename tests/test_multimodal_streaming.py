@@ -517,6 +517,42 @@ def test_streaming_holdout_decontamination(spark, tmp_path):
     assert idx.where(idx.id.isin("uExact", "uNear", "uExact2")).count() == 0
 
 
+def test_streaming_holdout_ngram_channel(spark, tmp_path):
+    """holdout_ngram_n adds the quoted-span channel: a 200-token doc
+    embedding a 15-token run of an eval doc (whole-doc Jaccard ~0.07 —
+    invisible to the fp and band channels) is dropped before any state
+    write; a doc quoting only 12 tokens (< n) and a clean doc survive."""
+    wd = str(tmp_path / "wd")
+    schema = "url string, warc_ts timestamp, text string"
+    eval_doc = " ".join(f"bench{i}" for i in range(40))
+    quote15 = " ".join(f"bench{i}" for i in range(15))
+    quote12 = " ".join(f"bench{i}" for i in range(20, 32))
+    filler = lambda tag, m: " ".join(f"{tag}{i}" for i in range(m))  # noqa: E731
+    holdout = spark.createDataFrame([("h1", None, eval_doc)], schema)
+    sd = StreamingDedup(
+        spark, wd, config=_sd_config(), holdout=holdout,
+        holdout_ngram_n=13, holdout_ngram_frac=0.01,
+    )
+    sd.process_batch(
+        spark.createDataFrame(
+            [
+                ("uQuote", None, f"{filler('aa', 90)} {quote15} {filler('ab', 95)}"),
+                ("uShort", None, f"{filler('ba', 90)} {quote12} {filler('bb', 98)}"),
+                ("uClean", None, filler("cc", 60)),
+            ],
+            schema,
+        ),
+        0,
+    )
+    urls = {r["url"] for r in spark.read.parquet(sd.out_path).collect()}
+    assert urls == {"uShort", "uClean"}
+    lin = spark.read.parquet(sd.lineage_path).collect()
+    assert sum(r["n_contaminated_ngram"] for r in lin) == 1
+    assert sum(r["n_contaminated"] for r in lin) == 0  # whole-doc channels miss it
+    idx = spark.read.parquet(sd.index_path)
+    assert idx.where(idx.id == "uQuote").count() == 0
+
+
 def test_streaming_holdout_exact_only_path(spark, tmp_path):
     """near_dup=False: the fingerprint channel still decontaminates."""
     wd = str(tmp_path / "wd")
