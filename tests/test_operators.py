@@ -1276,6 +1276,60 @@ def test_ngram_overlap_broadcast_plan_and_plain_parity(spark):
     assert "CartesianProduct" not in plan
 
 
+def _quality_corpora(spark):
+    """Deterministic reference-quality vs junk-crawl corpora (the GPT-3
+    labeling: corpus membership is the label)."""
+    import random
+
+    rng = random.Random(11)
+    stop = ["the", "be", "to", "of", "and", "that", "have", "with"]
+    good, junk = [], []
+    for i in range(120):
+        words = []
+        for j in range(70):
+            words.append(
+                stop[rng.randrange(len(stop))] if j % 3 == 0
+                else f"word{rng.randrange(500)}"
+            )
+        good.append((i, " ".join(words)))
+    for i in range(120):
+        kind = i % 3
+        if kind == 0:  # symbol spam
+            junk.append((1000 + i, "### " * 40 + "buy now..."))
+        elif kind == 1:  # single-token repetition
+            junk.append((1000 + i, ("spam" + str(i % 5) + " ") * 60))
+        else:  # digit noise, no alpha words
+            junk.append(
+                (1000 + i, " ".join(str(rng.randrange(10**6)) for _ in range(50)))
+            )
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")  # noqa: E731
+    return mk(good), mk(junk)
+
+
+def test_learned_quality_classifier_separates_junk(spark):
+    """Fit on 2/3 of each corpus, score the held-out third: every held-out
+    reference doc outranks every held-out junk doc (AUC 1 on separable
+    synthetic features), and the apply plan is pure JVM (no Python, no
+    shuffle — one narrow map)."""
+    from entity_deduplication_hack_main_spark.operators import quality
+
+    good, junk = _quality_corpora(spark)
+    model = quality.fit_quality_classifier(
+        good.where("doc_id % 3 != 0"), junk.where("doc_id % 3 != 0")
+    )
+    assert set(model["weights"]) == set(quality.QUALITY_FEATURES)
+    held = good.where("doc_id % 3 = 0").unionByName(junk.where("doc_id % 3 = 0"))
+    scored = quality.score_docs(held, model, keep_threshold=0.5)
+    rows = {r["doc_id"]: r for r in scored.collect()}
+    good_scores = [r["quality_prob"] for i, r in rows.items() if i < 1000]
+    junk_scores = [r["quality_prob"] for i, r in rows.items() if i >= 1000]
+    assert good_scores and junk_scores
+    assert min(good_scores) > max(junk_scores)
+    assert all(r["keep"] == (r["quality_prob"] >= 0.5) for r in rows.values())
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "Exchange" not in plan
+
+
 def test_gopher_quality_rules(spark):
     """The non-repetition Gopher rules: a normal English doc passes; docs
     violating one rule each (too short, bullet-heavy, symbol-heavy,
