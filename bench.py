@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "line_dedup_docs",
     "gopher_repetition_scores",
     "gopher_quality_marks",
+    "quality_pareto_sample",
     "pii_redaction_stats",
     "semantic_dedup_flags",
     "dup_ngram_stats",

@@ -1686,6 +1686,64 @@ def gopher_quality_marks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PARETO_U, _PARETO_KEPT = sampling_op.sql_pareto_quality_sample_predicate(
+    "quality_score", alpha=9
+)
+
+
+@register(
+    "quality_pareto_sample",
+    f"""
+WITH _g AS (SELECT doc_id,
+                   {', '.join(textstats.sql_gopher_quality('text'))}
+            FROM documents),
+_d AS (SELECT doc_id,
+              CASE WHEN len(toks) > 0
+                   THEN len(list_distinct(toks))::DOUBLE / len(toks)
+                   ELSE 0.0 END AS dtf
+       FROM (SELECT doc_id,
+                    {textnorm.sql_tokens(textnorm.sql_normalize('text'))}
+                      AS toks
+             FROM documents) _),
+_s AS (SELECT g.doc_id,
+              0.25 * g.alpha_word_frac
+                + 0.25 * (g.n_stop_hits::DOUBLE / 8.0)
+                + 0.25 * d.dtf
+                + 0.25 * least(g.n_words::DOUBLE / 100.0, 1.0)
+                AS quality_score
+       FROM _g g JOIN _d d USING (doc_id))
+SELECT doc_id, quality_score, {_PARETO_U} AS pareto_u,
+       {_PARETO_KEPT} AS kept
+FROM _s
+""",
+)
+def quality_pareto_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3's quality-weighted Pareto keep rule (operators/sampling.py
+    pareto_quality_sample) over a FIXED literal quality score (equal-weight
+    blend of alpha-word/stopword/distinct-token fractions and a capped
+    length term — a documented reference model, so the oracle replays the
+    exact keep set; the learned operators/quality.py score is the
+    production input). Deterministic u from the md5 sampler hash; the
+    Pareto power is a multiplication tree, never libm pow."""
+    docs = _t(spark, sf_dir, "documents")
+    cols = textstats.gopher_quality_cols(F.col("text"))
+    toks = textnorm.tokens(textnorm.normalize(F.col("text")))
+    nt = F.size(toks)
+    dtf = (
+        F.when(nt > 0, F.size(F.array_distinct(toks)).cast("double") / nt)
+        .otherwise(F.lit(0.0))
+    )
+    score = (
+        F.lit(0.25) * cols["alpha_word_frac"]
+        + F.lit(0.25) * (cols["n_stop_hits"].cast("double") / F.lit(8.0))
+        + F.lit(0.25) * dtf
+        + F.lit(0.25)
+        * F.least(cols["n_words"].cast("double") / F.lit(100.0), F.lit(1.0))
+    )
+    scored = docs.select("doc_id", score.alias("quality_score"))
+    return sampling_op.pareto_quality_sample(scored, "quality_score")
+
+
 @register(
     "dup_ngram_stats",
     f"""

@@ -137,3 +137,62 @@ SELECT t.{id_col}, t.{group_col}, t.n_tokens
 FROM t JOIN f USING ({group_col})
 WHERE t._h < f._frac * {_HASH_SPACE}
 """
+
+
+# --- GPT-3 quality-weighted Pareto sampling --------------------------------
+
+
+def _int_pow(base, n: int, mul):
+    """base**n as an explicit multiplication tree (binary exponentiation,
+    n >= 1). Shared recursion for the Spark Column and the SQL string so
+    both engines evaluate the SAME association order — identical IEEE
+    rounding, no libm pow (whose last ulp differs across engines)."""
+    if n == 1:
+        return base
+    half = _int_pow(base, n // 2, mul)
+    sq = mul(half, half)
+    return mul(sq, base) if n % 2 else sq
+
+
+def pareto_quality_sample(
+    docs: DataFrame,
+    score_col: str,
+    alpha: int = 9,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """GPT-3's quality-weighted keep rule: a doc with quality score s in
+    [0, 1] is kept iff ``pareto(alpha) > 1 - s`` (their appendix A:
+    np.random.pareto(9) — low-scored docs survive with small probability
+    instead of a hard threshold, which keeps the tail of the distribution
+    represented). Evaluated DETERMINISTICALLY: the Pareto draw's inverse
+    CDF turns the rule into ``u < (2 - s)^-alpha`` with u uniform; u comes
+    from the same md5 60-bit hash as every other sampler here, and the
+    predicate is rearranged to ``u * (2 - s)^alpha < 1`` with the integer
+    power as an explicit multiplication tree — only +,*,/ on doubles, so
+    the keep set is bit-stable across partitionings AND engines (the
+    oracle replays membership exactly; libm pow would differ in the last
+    ulp). Keep probability: 1 at s=1, 2^-alpha (~0.2% at alpha=9) at s=0.
+
+    Output: docs + (pareto_u, kept). Stateless per-row filter — no
+    shuffle, no sort, resume-safe, nested across alpha like the other
+    samplers are across budgets.
+    """
+    u = hashes.md5_long(F.col(id_col).cast("string")).cast(
+        "double"
+    ) / F.lit(_HASH_SPACE)
+    y = F.lit(2.0) - F.col(score_col).cast("double")
+    p = _int_pow(y, int(alpha), lambda a, b: a * b)
+    return docs.withColumn("pareto_u", u).withColumn(
+        "kept", F.col("pareto_u") * p < F.lit(1.0)
+    )
+
+
+def sql_pareto_quality_sample_predicate(
+    score_expr: str, alpha: int = 9, id_col: str = "doc_id"
+) -> tuple[str, str]:
+    """(u_expr, kept_expr) DuckDB twins of :func:`pareto_quality_sample` —
+    same hash, same multiplication tree."""
+    u = f"({hashes.sql_md5_long(f'{id_col}::VARCHAR')}::DOUBLE / {_HASH_SPACE})"
+    y = f"(2.0 - ({score_expr})::DOUBLE)"
+    p = _int_pow(y, int(alpha), lambda a, b: f"({a} * {b})")
+    return u, f"({u} * {p} < 1.0)"

@@ -113,3 +113,30 @@ def test_sampling_plan_no_global_sort_and_broadcast(spark, sf001):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "Sort [" not in plan  # no total ordering anywhere
     assert "BatchEvalPython" not in plan
+
+
+def test_pareto_quality_sample_properties(spark):
+    """GPT-3 Pareto keep rule: score 1 always kept; keep sets are
+    MONOTONE in score (same u, higher score can only add docs); the
+    empirical keep rate at a flat score tracks (2 - s)^-9; kept is a
+    pure function of (id, score) — stable across partitionings."""
+    n = 4000
+    docs = spark.range(n).select(F.col("id").alias("doc_id"))
+    always = sampling.pareto_quality_sample(
+        docs.withColumn("s", F.lit(1.0)), "s"
+    )
+    assert always.where("NOT kept").count() == 0
+    lo = set(_ids(sampling.pareto_quality_sample(
+        docs.withColumn("s", F.lit(0.3)), "s").where("kept")))
+    hi = set(_ids(sampling.pareto_quality_sample(
+        docs.withColumn("s", F.lit(0.8)), "s").where("kept")))
+    assert lo <= hi
+    # empirical rate vs theory at s=0.5: p = 1.5^-9 ~ 0.026
+    p = 1.5 ** -9
+    got = sampling.pareto_quality_sample(
+        docs.withColumn("s", F.lit(0.5)), "s").where("kept").count()
+    assert abs(got / n - p) < 4 * (p * (1 - p) / n) ** 0.5 + 1e-9
+    re_part = sampling.pareto_quality_sample(
+        docs.repartition(13).withColumn("s", F.lit(0.8)), "s"
+    ).where("kept")
+    assert set(_ids(re_part)) == hi
