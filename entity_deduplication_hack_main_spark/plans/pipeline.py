@@ -55,6 +55,10 @@ class PipelineResult:
     # PII masked (id, cluster_id, n_members, n_email, n_ipv4, n_phone,
     # text) — only when run_pipeline(pii_redact=True).
     redacted: DataFrame | None = None
+    # docs dropped by holdout decontamination (id, reason in
+    # 'exact'|'near'|'ngram') — only when run_pipeline(holdout=...); the
+    # committed audit trail of what was removed and why.
+    contaminated: DataFrame | None = None
 
 
 def run_pipeline(
@@ -73,6 +77,10 @@ def run_pipeline(
     gopher_filter: bool = False,
     url_dedup_col: str | None = None,
     pii_redact: bool = False,
+    holdout: DataFrame | None = None,
+    holdout_threshold: float | None = None,
+    holdout_ngram_n: int | None = None,
+    holdout_ngram_frac: float = 0.7,
 ) -> PipelineResult:
     """model: optional learned pair classifier (operators/learned.py
     fit_pair_classifier output). When given, the Jaccard leg of the edge
@@ -111,7 +119,22 @@ def run_pipeline(
     computed on the original bytes), plus per-category match counts.
     When span cutting ran (``config.substring_cut``), redaction applies
     to the cut text — the stage composes with, not bypasses, the span
-    pass."""
+    pass.
+
+    holdout: optional benchmark/eval corpus (same id/text columns) — the
+    batch twin of StreamingDedup(holdout=...). A committed
+    ``contaminated`` stage flags docs matching the holdout exactly
+    (fingerprint), nearly (band collision → exact Jaccard ≥
+    holdout_threshold), or — when ``holdout_ngram_n`` is set — by n-gram
+    overlap ≥ holdout_ngram_frac (quoted eval spans; GPT-3's n=13,
+    PaLM's 0.7). Flagged docs are removed from the payload AND the doc
+    stream before candidates, spans, and the shipped output; the flag
+    table itself is committed as the audit trail
+    (operators/decontaminate.py has the per-channel scale shapes). The
+    stage runs AFTER ``payload`` on purpose: the near channel needs the
+    representation, and reusing the committed payload keeps the corpus
+    to ONE kernel pass — the flagged set is tiny (contamination is
+    rare), so the two anti-join broadcasts are map-side."""
     config = config or DedupConfig()
     com = StageCommitter(spark, workdir, run_id)
     nbits = 64 if hash_strategy == "xxhash64" else 60
@@ -163,6 +186,54 @@ def run_pipeline(
         )
 
     payload = com.stage("payload", build_payload)
+
+    contaminated = None
+    if holdout is not None:
+        from entity_deduplication_hack_main_spark.operators import (
+            decontaminate as decon,
+        )
+
+        def build_contaminated() -> DataFrame:
+            hrep = represent.with_representation(
+                holdout, config, id_col, text_col, hash_strategy
+            )
+            flagged = decon.decontaminate(
+                payload,
+                hrep,
+                config,
+                threshold=holdout_threshold,
+                broadcast_ref=True,
+            ).select(F.col("doc_id").alias("id"), "reason")
+            if holdout_ngram_n is not None:
+                ng = decon.ngram_overlap_stats(
+                    docs.select(id_col, text_col),
+                    holdout,
+                    config,
+                    n=holdout_ngram_n,
+                    flag_threshold=holdout_ngram_frac,
+                    id_col=id_col,
+                    text_col=text_col,
+                    hash_strategy=hash_strategy,
+                )
+                flagged = flagged.unionByName(
+                    ng.where("contaminated").select(
+                        F.col("doc_id").alias("id"),
+                        F.lit("ngram").alias("reason"),
+                    )
+                )
+            # a doc can trip several channels — one row, deterministic
+            # reason priority (exact < near < ngram lexicographically)
+            return flagged.groupBy("id").agg(F.min("reason").alias("reason"))
+
+        contaminated = com.stage("contaminated", build_contaminated)
+        payload = payload.join(
+            F.broadcast(contaminated.select("id")), "id", "left_anti"
+        )
+        docs = docs.join(
+            F.broadcast(contaminated.select(F.col("id").alias(id_col))),
+            id_col,
+            "left_anti",
+        )
 
     def build_candidates() -> DataFrame:
         # bigint band keys on the production path (md5 strings are the
@@ -279,5 +350,5 @@ def run_pipeline(
 
     return PipelineResult(
         payload, candidates, verified, edges, assignments, com, spans,
-        cut_docs, redacted,
+        cut_docs, redacted, contaminated,
     )

@@ -55,10 +55,13 @@ def main() -> None:
     ap.add_argument("--streaming-schema",
                     default="url string, warc_ts timestamp, text string")
     ap.add_argument("--holdout", default=None,
-                    help="streaming mode: parquet path of a benchmark/eval "
-                         "corpus (same id/text columns); every micro-batch "
-                         "is decontaminated against it before any state "
-                         "write (drops recorded as n_contaminated)")
+                    help="parquet path of a benchmark/eval corpus (same "
+                         "id/text columns). Streaming mode: every "
+                         "micro-batch is decontaminated against it before "
+                         "any state write (drops recorded as "
+                         "n_contaminated). Batch mode: a committed "
+                         "'contaminated' stage removes matching docs "
+                         "before candidates/spans/output.")
     ap.add_argument("--holdout-ngram-n", type=int, default=None,
                     help="with --holdout: also drop batch docs whose "
                          "fraction of distinct n-grams found in the "
@@ -273,6 +276,9 @@ def main() -> None:
         gopher_filter=args.gopher_filter,
         url_dedup_col=args.url_col if args.url_dedup else None,
         pii_redact=args.redact_output is not None,
+        holdout=(spark.read.parquet(args.holdout) if args.holdout else None),
+        holdout_ngram_n=args.holdout_ngram_n,
+        holdout_ngram_frac=args.holdout_ngram_frac,
     )
     tables.write_table(res.assignments, args.output, args.table_format)
     if res.spans is not None and args.spans_output:

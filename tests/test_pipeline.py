@@ -310,3 +310,53 @@ def test_pipeline_pii_redact_stage_ships_masked_representatives(
         e["stage"] == "pii_redacted" and e["resumed"]
         for e in r2.committer.events
     )
+
+
+def test_pipeline_holdout_decontamination_stage(spark, tmp_path):
+    """run_pipeline(holdout=...) — the batch twin of the streaming gate:
+    an exact copy, a near copy, and a doc QUOTING a 15-token eval span
+    are all removed before candidates/assignments (reasons committed in
+    the audit table); clean docs still dedup normally."""
+    cfg = DedupConfig(shingle_k=3, num_perms=32, bands=8, rows_per_band=4)
+    eval1 = " ".join(f"bench{i}" for i in range(60))
+    eval2 = " ".join(f"exam{i}" for i in range(40))
+    near = eval1.replace("bench30", "CHANGED")
+    quote15 = " ".join(f"exam{i}" for i in range(15))
+    filler = lambda tag, m: " ".join(f"{tag}{i}" for i in range(m))  # noqa: E731
+    docs = spark.createDataFrame(
+        [
+            (1, eval1),                                        # exact
+            (2, near),                                         # near
+            (3, f"{filler('aa', 90)} {quote15} {filler('ab', 95)}"),  # ngram
+            (4, filler("cc", 60)),                             # clean
+            (5, filler("dd", 60)),                             # clean dup pair
+            (6, filler("dd", 60) + " tail"),                   # ~dup of 5
+        ],
+        "doc_id long, text string",
+    )
+    holdout = spark.createDataFrame(
+        [(100, eval1), (101, eval2)], "doc_id long, text string"
+    )
+    res = run_pipeline(
+        spark, docs, cfg,
+        workdir=str(tmp_path / "wd"),
+        # frac 0.01 ~ GPT-3's any-13-gram-hit rule on 200-token docs
+        holdout=holdout, holdout_ngram_n=13, holdout_ngram_frac=0.01,
+    )
+    got = {r["id"]: r["reason"] for r in res.contaminated.collect()}
+    assert got == {1: "exact", 2: "near", 3: "ngram"}
+    asn = {r["id"]: r["cluster_id"] for r in res.assignments.collect()}
+    assert set(asn) == {4, 5, 6}
+    assert asn[5] == asn[6] != asn[4]
+    # no contaminated doc leaked into any downstream stage
+    assert res.payload.where(F.col("id").isin(1, 2, 3)).count() == 0
+    assert (
+        res.candidates.where(
+            F.col("id1").isin(1, 2, 3) | F.col("id2").isin(1, 2, 3)
+        ).count()
+        == 0
+    )
+
+
+def test_pipeline_no_holdout_has_no_contaminated_stage(result):
+    assert result.contaminated is None
