@@ -75,7 +75,12 @@ identity. Boilerplate LINE removal follows the same recipe
 (:func:`line_dedup_compaction`): line doc-frequency is corpus-global, so
 it runs as a scheduled batch job over `deduped` into `deduped_lines`
 (doc-frequency rule only — keep-first depends on arrival order and would
-not be idempotent across re-runs).
+not be idempotent across re-runs). Small-FILE compaction is the third
+maintenance job (:func:`state_compaction`): trickle ingest writes one
+file set per batch per state table, so a quiescent-window rewrite folds
+all committed partitions into the ``batch_id = -1`` sentinel partition
+in the kb-range-clustered layout — O(1) files per key bucket again,
+reads and retry semantics unchanged.
 4. survivors append to the output plus three index tables — `_index`
    (id, fp, signature, simhash), `_band_index` (id, band_id, band_hash)
    and `_winnow_index` (id, wfp) — and one `_streaming_lineage` row
@@ -837,6 +842,79 @@ class StreamingDedup:
         ).withColumnRenamed("id", self.id_col)
         cleaned.write.mode("overwrite").parquet(out)
         return self.spark.read.parquet(out)
+
+    #: batch_id owning compacted rows — never a real micro-batch id, so
+    #: every ``exclude_batch`` read filter keeps compacted state visible
+    COMPACTED_BATCH_ID = -1
+
+    def state_compaction(self, files_per_table: int = 8) -> dict:
+        """Periodic small-file compaction for the committed state tables.
+
+        Trickle ingest writes one small file set per micro-batch per
+        table; after B batches every read — even a perfectly kb-pruned
+        one — still opens O(B) parquet footers, and at B in the tens of
+        thousands footer I/O dominates the scan. This job folds every
+        committed ``batch_id`` partition of the three index tables and
+        the output table into ONE partition (``batch_id = -1``, a
+        sentinel no live batch uses, so the per-batch
+        ``exclude_batch=batch_id`` filters keep compacted rows visible),
+        restoring the kb-range-clustered layout (_write_index) so file
+        skipping works as on day one.
+
+        Run it while ingest is QUIESCENT (between availableNow triggers,
+        after the checkpoint committed): the next batch's reads are
+        unaffected, but a redelivery of an already-compacted batch would
+        duplicate its rows into the sentinel partition — the streaming
+        checkpoint prevents redelivery; don't compact mid-trigger. The
+        rewrite is idempotent (re-running folds the single sentinel
+        partition onto itself). Cost: one localCheckpoint materialization
+        of each table (rows are narrow index entries) — the
+        read-own-path-then-overwrite safety pattern the module docstring
+        describes.
+
+        ``files_per_table`` caps the rewrite's partition count (without
+        it, repartitionByRange defaults to spark.sql.shuffle.partitions
+        and a small table would come out in MORE files than it went in —
+        measured in the pytest). Size it as total_bytes / target file
+        size (~256 MB-1 GB) in production.
+
+        Returns {table: {"files_before": n, "files_after": n}}."""
+        stats = {}
+        for name, path, has_kb in (
+            ("index", self.index_path, True),
+            ("band_index", self.band_path, True),
+            ("winnow_index", self.winnow_path, True),
+            ("deduped", self.out_path, False),
+        ):
+            if not fsutil.exists(self.spark, path):
+                continue
+            # mergeSchema: partitions written by older engine versions may
+            # lack newer columns — the fold must not drop them
+            df = self.spark.read.option("mergeSchema", "true").parquet(path)
+            before = df.select(F.input_file_name()).distinct().count()
+            folded = df.drop("batch_id").localCheckpoint(eager=True)
+            if has_kb and "kb" in folded.columns:
+                folded = folded.repartitionByRange(
+                    int(files_per_table), "kb"
+                ).sortWithinPartitions("kb")
+            else:
+                folded = folded.repartition(int(files_per_table))
+            (
+                folded.withColumn(
+                    "batch_id", F.lit(int(self.COMPACTED_BATCH_ID))
+                )
+                .write.partitionBy("batch_id")
+                .mode("overwrite")
+                .parquet(path)
+            )
+            after = (
+                self.spark.read.parquet(path)
+                .select(F.input_file_name())
+                .distinct()
+                .count()
+            )
+            stats[name] = {"files_before": before, "files_after": after}
+        return stats
 
     def start(self, source_dir: str, schema: str, trigger_once: bool = True):
         stream = (

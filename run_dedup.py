@@ -110,6 +110,15 @@ def main() -> None:
                          "<workdir>/deduped_lines (doc-freq rule via "
                          "--line-dedup-max-doc-freq, default 8). Requires "
                          "--workdir; runs instead of the pipeline.")
+    ap.add_argument("--compact-state", action="store_true",
+                    help="maintenance for a STREAMED workdir: fold every "
+                         "per-batch partition of the index/output tables "
+                         "into one compacted partition (small-file "
+                         "compaction, kb layout preserved). Run while "
+                         "ingest is quiescent. Requires --workdir; runs "
+                         "instead of the pipeline.")
+    ap.add_argument("--compact-state-files", type=int, default=8,
+                    help="target file count per compacted table")
     ap.add_argument("--compact-spans", action="store_true",
                     help="periodic batch compaction for a STREAMED workdir: "
                          "run the corpus-global exact-substring span pass + "
@@ -140,9 +149,31 @@ def main() -> None:
     elif args.cut_output:
         ap.error("--cut-output requires --span-k")
 
-    if not args.output and not args.compact_spans and not args.compact_lines:
+    if not args.output and not (
+        args.compact_spans or args.compact_lines or args.compact_state
+    ):
         ap.error("--output is required (except with --compact-spans/"
-                 "--compact-lines)")
+                 "--compact-lines/--compact-state)")
+
+    if args.compact_state:
+        if not args.workdir:
+            ap.error("--compact-state requires --workdir")
+        from entity_deduplication_hack_main_spark.streaming.ingest import (
+            StreamingDedup,
+        )
+
+        sd = StreamingDedup(
+            spark, args.workdir, config,
+            text_col=args.text_col, id_col=args.id_col,
+        )
+        t0 = time.monotonic()
+        stats = sd.state_compaction(files_per_table=args.compact_state_files)
+        print(json.dumps({
+            "mode": "compact_state",
+            "tables": stats,
+            "wall_sec": round(time.monotonic() - t0, 2),
+        }))
+        return
 
     if args.compact_spans:
         if not args.workdir:

@@ -571,3 +571,54 @@ def test_streaming_holdout_exact_only_path(spark, tmp_path):
     )
     urls = {r["url"] for r in spark.read.parquet(sd.out_path).collect()}
     assert urls == {"uClean"}
+
+
+def test_streaming_state_compaction(spark, tmp_path):
+    """state_compaction folds per-batch partitions into the batch_id=-1
+    sentinel: file counts drop, every index/output row survives exactly,
+    kb pruning layout is preserved, and the NEXT batch still dedups
+    against compacted state (a dup of a batch-0 doc is dropped)."""
+    wd = str(tmp_path / "wd")
+    schema = "url string, warc_ts timestamp, text string"
+    mk = lambda rows: spark.createDataFrame(rows, schema)  # noqa: E731
+    sd = StreamingDedup(spark, wd, config=_sd_config())
+    for b in range(3):
+        sd.process_batch(
+            mk([(f"u{b}-{i}", None,
+                 " ".join(f"b{b}w{i}t{j}" for j in range(40)))
+                for i in range(4)]),
+            b,
+        )
+    idx_before = sorted(
+        map(tuple, spark.read.parquet(sd.index_path).drop("batch_id").collect())
+    )
+    out_before = sorted(
+        map(tuple, spark.read.parquet(sd.out_path).drop("batch_id").collect())
+    )
+    stats = sd.state_compaction(files_per_table=2)
+    assert set(stats) == {"index", "band_index", "winnow_index", "deduped"}
+    for s in stats.values():
+        assert s["files_after"] <= s["files_before"]
+    idx_after_df = spark.read.parquet(sd.index_path)
+    assert sorted(
+        map(tuple, idx_after_df.drop("batch_id").collect())
+    ) == idx_before
+    assert set(r["batch_id"] for r in idx_after_df.select("batch_id").distinct().collect()) == {-1}
+    assert sorted(
+        map(tuple, spark.read.parquet(sd.out_path).drop("batch_id").collect())
+    ) == out_before
+    # idempotent
+    again = sd.state_compaction(files_per_table=2)
+    assert all(
+        again[k]["files_after"] == stats[k]["files_after"] for k in stats
+    )
+    # the next batch dedups against compacted state: exact copy of a
+    # batch-0 doc + one genuinely new doc
+    dup_text = " ".join(f"b0w1t{j}" for j in range(40))
+    sd.process_batch(
+        mk([("uDup", None, dup_text),
+            ("uNew", None, " ".join(f"fresh{j}" for j in range(40)))]),
+        7,
+    )
+    urls = {r["url"] for r in spark.read.parquet(sd.out_path).collect()}
+    assert "uNew" in urls and "uDup" not in urls and "u0-1" in urls
