@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "bm25_search",
     "unigram_lm_scores",
     "pack_plan_docs",
+    "doc_chunks",
     "curation_report",
     "lsh_dedup_clusters",
     "token_stats",

@@ -38,6 +38,9 @@ from entity_deduplication_hack_main_spark.functions import (
     textstats,
 )
 from entity_deduplication_hack_main_spark.operators import (
+    chunking as chunking_op,
+)
+from entity_deduplication_hack_main_spark.operators import (
     cluster as cc_op,
 )
 from entity_deduplication_hack_main_spark.operators import (
@@ -1683,6 +1686,21 @@ def gopher_quality_marks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         *[c.alias(n) for n, c in cols.items()],
         textstats.gopher_quality_pass(cols).alias("quality_pass"),
+    )
+
+
+@register(
+    "doc_chunks",
+    chunking_op.sql_chunk_docs(max_tokens=40, overlap=8),
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-doc chunking (operators/chunking.py): token-windowed chunks
+    (40-token window, 8-token overlap) over the RAW-byte decomposition —
+    chunk_text is original bytes, and at overlap=0 the chunks concatenate
+    back to the document byte-exactly (fuzz-tested). The curation →
+    training handoff for docs exceeding a context budget."""
+    return chunking_op.chunk_docs(
+        _t(spark, sf_dir, "documents"), max_tokens=40, overlap=8
     )
 
 

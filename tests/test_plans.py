@@ -242,3 +242,41 @@ def test_iceberg_path_fails_with_typed_error_without_runtime(spark):
     df = spark.createDataFrame([(1,)], "doc_id bigint")
     with _pytest.raises(tables.IcebergUnavailableError, match="iceberg-spark-runtime"):
         tables.write_table(df, "dedup.db.t", fmt="iceberg")
+
+
+def test_chunk_docs_reconstruction_and_overlap(spark):
+    """chunk_docs invariants on ARBITRARY text: with overlap=0 the chunks
+    concatenate back to the input byte-exactly (one chunk minimum, even
+    for empty/whitespace docs); with overlap>0 the window arithmetic
+    holds (starts step by max_tokens-overlap, every token covered, last
+    chunk ends at n) and the plan stays JVM-only."""
+    import random
+
+    from entity_deduplication_hack_main_spark.operators import chunking
+
+    rng = random.Random(77)
+    alphabet = (
+        "abcXYZ0123456789 \t\n.,;:!?()[]#@/\\-_'\"«»…—éüßÆ中文字тексту😀"
+    )
+    texts = ["", " ", "!!!", "one"] + [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 200)))
+        for _ in range(150)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    flat = chunking.chunk_docs(docs, max_tokens=7, overlap=0).collect()
+    by_doc: dict[int, list] = {}
+    for r in flat:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(range(len(texts)))  # every doc chunks
+    for i, t in enumerate(texts):
+        rows = sorted(by_doc[i], key=lambda r: r["chunk_id"])
+        assert "".join(r["chunk_text"] for r in rows) == t
+        assert [r["chunk_id"] for r in rows] == list(range(len(rows)))
+    ov = chunking.chunk_docs(docs, max_tokens=10, overlap=3)
+    for r in ov.collect():
+        assert r["start_tok"] == r["chunk_id"] * 7
+        assert 0 <= r["n_chunk_tokens"] <= 10
+    plan = ov._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "Exchange" not in plan
