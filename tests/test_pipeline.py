@@ -360,3 +360,25 @@ def test_pipeline_holdout_decontamination_stage(spark, tmp_path):
 
 def test_pipeline_no_holdout_has_no_contaminated_stage(result):
     assert result.contaminated is None
+
+
+def test_pipeline_holdout_stage_resumes(spark, tmp_path):
+    """The contaminated stage is a committed stage like any other: a
+    second run with the same workdir resumes it (flag table read from
+    parquet, not recomputed) and yields identical assignments."""
+    cfg = DedupConfig(shingle_k=3, num_perms=32, bands=8, rows_per_band=4)
+    eval1 = " ".join(f"bench{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, eval1), (4, " ".join(f"cc{i}" for i in range(60)))],
+        "doc_id long, text string",
+    )
+    holdout = spark.createDataFrame([(100, eval1)], "doc_id long, text string")
+    wd = str(tmp_path / "wd")
+    r1 = run_pipeline(spark, docs, cfg, workdir=wd, run_id="a", holdout=holdout)
+    a1 = sorted(map(tuple, r1.assignments.collect()))
+    assert not any(e["resumed"] for e in r1.committer.events)
+    r2 = run_pipeline(spark, docs, cfg, workdir=wd, run_id="b", holdout=holdout)
+    assert all(e["resumed"] for e in r2.committer.events)
+    assert {e["stage"] for e in r2.committer.events} >= {"contaminated"}
+    assert sorted(map(tuple, r2.assignments.collect())) == a1
+    assert {r["id"] for r in r2.contaminated.collect()} == {1}
