@@ -393,9 +393,7 @@ _NGRAM13_CFG = replace(CFG, shingle_k=13)
     "ngram_overlap_contamination",
     f"""
 WITH {represent.sql_repr_ctes(_NGRAM13_CFG)},
-{decon_op.sql_ngram_overlap_stats(
-        _NGRAM13_CFG, "{id} % 10 != 0", "{id} % 10 = 0", n=13
-    )}
+{decon_op.sql_ngram_overlap_stats("{id} % 10 != 0", "{id} % 10 = 0")}
 """,
 )
 def ngram_overlap_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:

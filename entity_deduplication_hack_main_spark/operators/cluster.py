@@ -218,9 +218,7 @@ def cluster_sample_weights(assignments: DataFrame) -> DataFrame:
     cluster, broadcastable downstream; no windows, so a boilerplate
     mega-cluster costs its combiners one row per map task.
     """
-    sizes = assignments.groupBy("cluster_id").agg(
-        F.count("*").alias("cluster_size")
-    )
+    sizes = cluster_sizes(assignments)
     return assignments.join(sizes, "cluster_id").select(
         F.col("node").alias("doc_id"),
         "cluster_id",

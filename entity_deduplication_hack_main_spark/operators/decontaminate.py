@@ -201,18 +201,19 @@ def ngram_overlap_stats(
 
 
 def sql_ngram_overlap_stats(
-    config: DedupConfig,
     train_pred: str,
     ref_pred: str,
-    n: int = 13,
     flag_threshold: float = 0.7,
 ) -> str:
-    """DuckDB oracle for :func:`ngram_overlap_stats` over `documents`,
-    replaying the SAME rolling-polynomial grams at shingle_k = n via
-    represent.sql_repr_ctes (emit it with the n-gram config — this
-    fragment expects ``_sh`` in scope). train_pred / ref_pred are
-    predicate templates over an ``{id}`` placeholder, formatted (never
-    string-replaced)."""
+    """DuckDB oracle for :func:`ngram_overlap_stats` over `documents`.
+
+    The gram size is whatever shingle_k the caller emitted the ``_sh``
+    CTE with — emit ``represent.sql_repr_ctes(replace(cfg, shingle_k=n))``
+    and keep n consistent with the Spark side. (The fragment deliberately
+    takes NO n/config parameter: an ignored one would let a mismatched
+    call compute overlap over default-k shingles while labeled n-grams.)
+    train_pred / ref_pred are predicate templates over an ``{id}``
+    placeholder, formatted (never string-replaced)."""
     t = float(flag_threshold)
     return f"""
 _tg AS (

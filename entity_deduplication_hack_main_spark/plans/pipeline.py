@@ -132,9 +132,12 @@ def run_pipeline(
     table itself is committed as the audit trail
     (operators/decontaminate.py has the per-channel scale shapes). The
     stage runs AFTER ``payload`` on purpose: the near channel needs the
-    representation, and reusing the committed payload keeps the corpus
-    to ONE kernel pass — the flagged set is tiny (contamination is
-    rare), so the two anti-join broadcasts are map-side."""
+    representation, and reusing the committed payload avoids recomputing
+    it for the exact/near channels; the n-gram channel (when enabled)
+    necessarily adds ONE extra tokenize+shingle pass over the corpus at
+    shingle_k = n — the price of the quoted-span recall. The flagged set
+    is tiny (contamination is rare), so the two anti-join broadcasts are
+    map-side."""
     config = config or DedupConfig()
     com = StageCommitter(spark, workdir, run_id)
     nbits = 64 if hash_strategy == "xxhash64" else 60

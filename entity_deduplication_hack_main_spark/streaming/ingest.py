@@ -421,25 +421,48 @@ class StreamingDedup:
             ng_flagged = self._ngram_contaminated_ids(fresh)
             n_contaminated_ngram = ng_flagged.count()
             if n_contaminated_ngram:
+                _fresh_pre_ngram = fresh
                 fresh = fresh.join(
                     F.broadcast(ng_flagged), self.id_col, "left_anti"
                 ).localCheckpoint(eager=True)
+                _fresh_pre_ngram.unpersist()  # superseded checkpoint blocks
 
         if not self.near_dup:
+            n_contaminated = 0
             if self.holdout is not None:
                 # exact decontamination channel only: no batch
                 # representation exists on this path (docstring)
+                n_before = fresh.count()
+                _fresh_pre_exact = fresh
                 fresh = fresh.join(
                     F.broadcast(self._holdout_rep().select("fp").distinct()),
                     "fp",
                     "left_anti",
-                )
+                ).localCheckpoint(eager=True)
+                n_contaminated = n_before - fresh.count()
+                _fresh_pre_exact.unpersist()
             self._overwrite_partition(fresh.drop("fp"), self.out_path, batch_id)
             self._write_index(
                 fresh.select(F.col(self.id_col).alias("id"), "fp"),
                 self.index_path,
                 batch_id,
                 F.col("fp"),
+            )
+            # the exact-only path records its decisions too (the holdout
+            # docstring's audit promise must not depend on near_dup)
+            counts = {
+                "n_input": batch.count(),
+                "n_fresh": fresh.count(),
+                "n_contaminated": n_contaminated,
+                "n_contaminated_ngram": n_contaminated_ngram,
+            }
+            self._overwrite_partition(
+                self.spark.createDataFrame(
+                    [tuple(counts.values())],
+                    ", ".join(f"{k} bigint" for k in counts),
+                ),
+                self.lineage_path,
+                batch_id,
             )
             fresh.unpersist()
             return
@@ -903,7 +926,12 @@ class StreamingDedup:
                 folded.withColumn(
                     "batch_id", F.lit(int(self.COMPACTED_BATCH_ID))
                 )
-                .write.partitionBy("batch_id")
+                # static, EXPLICITLY: under a cluster default of 'dynamic'
+                # (the mode _overwrite_partition itself uses) an overwrite
+                # would replace only the sentinel partition and leave every
+                # per-batch partition in place — duplicating all state
+                .write.option("partitionOverwriteMode", "static")
+                .partitionBy("batch_id")
                 .mode("overwrite")
                 .parquet(path)
             )

@@ -127,6 +127,8 @@ def main() -> None:
                          "--span-k, default 20). Requires --workdir; runs "
                          "instead of the pipeline.")
     args = ap.parse_args()
+    if args.holdout_ngram_n is not None and not args.holdout:
+        ap.error("--holdout-ngram-n requires --holdout")
 
     from pyspark.sql import SparkSession
 

@@ -106,6 +106,8 @@ def test_near_dup_matmul_agrees_with_exact(spark, sf001, entry_mod):
         "token_budget_sample", "balanced_source_sample",
         "pii_redaction_stats", "semantic_dedup_flags",
         "dup_ngram_stats", "bm25_search",
+        "ngram_overlap_contamination", "dedup_sample_weights",
+        "doc_chunks", "quality_pareto_sample",
     ],
 )
 def test_query_matches_oracle(spark, sf001, entry_mod, duck, name):

@@ -554,7 +554,9 @@ def test_streaming_holdout_ngram_channel(spark, tmp_path):
 
 
 def test_streaming_holdout_exact_only_path(spark, tmp_path):
-    """near_dup=False: the fingerprint channel still decontaminates."""
+    """near_dup=False: the fingerprint channel still decontaminates, and
+    the drop is recorded in lineage (the audit promise holds on BOTH
+    paths)."""
     wd = str(tmp_path / "wd")
     schema = "url string, warc_ts timestamp, text string"
     bench_doc = " ".join(f"eval{i}" for i in range(80))
@@ -571,6 +573,9 @@ def test_streaming_holdout_exact_only_path(spark, tmp_path):
     )
     urls = {r["url"] for r in spark.read.parquet(sd.out_path).collect()}
     assert urls == {"uClean"}
+    lin = spark.read.parquet(sd.lineage_path).collect()
+    assert sum(r["n_contaminated"] for r in lin) == 1
+    assert sum(r["n_contaminated_ngram"] for r in lin) == 0
 
 
 def test_streaming_state_compaction(spark, tmp_path):
@@ -595,7 +600,14 @@ def test_streaming_state_compaction(spark, tmp_path):
     out_before = sorted(
         map(tuple, spark.read.parquet(sd.out_path).drop("batch_id").collect())
     )
-    stats = sd.state_compaction(files_per_table=2)
+    # the regression mode: a cluster default of DYNAMIC overwrite must
+    # not turn the fold into a sentinel-partition-only write that leaves
+    # every per-batch partition (and thus every row) duplicated
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        stats = sd.state_compaction(files_per_table=2)
+    finally:
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     assert set(stats) == {"index", "band_index", "winnow_index", "deduped"}
     for s in stats.values():
         assert s["files_after"] <= s["files_before"]
