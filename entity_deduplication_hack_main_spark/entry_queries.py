@@ -68,6 +68,9 @@ from entity_deduplication_hack_main_spark.operators import (
 )
 from entity_deduplication_hack_main_spark.operators import setjoin as setjoin_op
 from entity_deduplication_hack_main_spark.operators import suffix as suffix_op
+from entity_deduplication_hack_main_spark.operators import (
+    urldedup as urldedup_op,
+)
 from entity_deduplication_hack_main_spark.operators import verify as verify_op
 
 CFG: DedupConfig = TESTDATA_CONFIG
@@ -523,6 +526,119 @@ def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup.alias("n_dup_docs"),
         F.round(dup.cast("double") / F.count("*"), 6).alias("dup_rate"),
     )
+
+
+@register(
+    "url_dedup_stats",
+    """
+WITH _u AS (
+  SELECT doc_id, (doc_id % 10)::VARCHAR AS b, source AS s,
+         ((doc_id // 10) % 5) AS v
+  FROM documents
+),
+_raw AS (
+  SELECT doc_id,
+    CASE v
+      WHEN 0 THEN 'https://www.' || s || '.example/page/' || b || '/'
+      WHEN 1 THEN 'https://' || s || '.example:443/page/' || b
+                  || '?utm_source=feed&ref=rss'
+      WHEN 2 THEN 'http://' || s || '.example:80/page/' || b || '?b=2&a=1'
+      WHEN 3 THEN 'https://' || s || '.example/page/' || b
+                  || '?a=1&gclid=z&b=2'
+      ELSE 'HTTPS://WWW.' || upper(s) || '.example/page/' || b || '#frag'
+    END AS url
+  FROM _u
+),
+_q AS (
+  SELECT doc_id, url,
+    coalesce(array_to_string(list_sort(list_filter(
+      string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+      p -> p <> '' AND NOT regexp_matches(
+        p, '^(utm_[^=]*|gclid|fbclid|ref|fb_action_ids)='))), '&'), '')
+      AS qn
+  FROM _raw
+),
+_k AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(lower(
+        regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)),
+      '^www\\.', ''), ':(80|443)$', '')
+    || regexp_replace(
+         regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1), '/$', '')
+    || CASE WHEN qn = '' THEN '' ELSE '?' || qn END AS url_key
+  FROM _q
+)
+SELECT url_key, count(*)::BIGINT AS n_pages, min(doc_id) AS kept_id
+FROM _k GROUP BY 1 HAVING count(*) >= 2
+""",
+)
+def url_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup (operators/urldedup.py — the cheapest
+    Common-Crawl channel, run before any content hashing) demonstrated
+    cross-engine: deterministic recrawl/tracking-decorated URL variants
+    are synthesized per doc (five shapes exercising every rule — www +
+    trailing slash, default :443 port + utm/ref params, :80 + out-of-order
+    params, gclid injection, uppercase host + fragment), canonicalized
+    with the production `canonical_url_key` (JVM parse_url + array ops; the
+    oracle replays the same rules with RE2 + list lambdas), and reduced to
+    (url_key, n_pages, kept_id) via the production `url_dup_stats` +
+    `dedup_by_url` operators. The first-crawl-wins rule here degenerates
+    to min(doc_id) (the documents table carries no warc_ts).
+
+    Reference parity: URL identity is the webtext analog of the
+    reference's entity-URI identity (`EvaluateVariations.ipynb cell 2`
+    extract_uuid); the canonicalization rules follow the documented
+    Common-Crawl curation recipe, see operators/urldedup.py.
+
+    Scale: one narrow projection + one partial-aggregating groupBy — the
+    same skew-safe min(struct) shape as line dedup; no windows, no arrays.
+    """
+    b = (F.col("doc_id") % 10).cast("string")
+    v = F.expr("doc_id div 10") % 5
+    s = F.col("source")
+    url = (
+        F.when(
+            v == 0,
+            F.concat(
+                F.lit("https://www."), s, F.lit(".example/page/"), b, F.lit("/")
+            ),
+        )
+        .when(
+            v == 1,
+            F.concat(
+                F.lit("https://"), s, F.lit(".example:443/page/"), b,
+                F.lit("?utm_source=feed&ref=rss"),
+            ),
+        )
+        .when(
+            v == 2,
+            F.concat(
+                F.lit("http://"), s, F.lit(".example:80/page/"), b,
+                F.lit("?b=2&a=1"),
+            ),
+        )
+        .when(
+            v == 3,
+            F.concat(
+                F.lit("https://"), s, F.lit(".example/page/"), b,
+                F.lit("?a=1&gclid=z&b=2"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("HTTPS://WWW."), F.upper(s), F.lit(".example/page/"),
+                b, F.lit("#frag"),
+            )
+        )
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source").withColumn(
+        "url", url
+    )
+    kept = urldedup_op.dedup_by_url(docs, ts_col=None).select(
+        "url_key", F.col("doc_id").alias("kept_id")
+    )
+    stats = urldedup_op.url_dup_stats(docs)
+    return stats.join(kept, "url_key").select("url_key", "n_pages", "kept_id")
 
 
 # ===========================================================================

@@ -99,6 +99,7 @@ def test_near_dup_matmul_agrees_with_exact(spark, sf001, entry_mod):
         "substring_cut_docs", "substring_cut_docs_raw", "bpe_token_stats",
         "knn_ivf", "entity_verify_pairs", "dedup_cluster_sizes",
         "ngram_jaccard_pairs", "dedup_keep_best", "dup_rate_by_source",
+        "url_dedup_stats",
         "decontaminate_vs_holdout", "part_types_by_brand",
         "winnow_containment_spans", "embedding_near_dup_lsh",
         "line_dedup_docs", "duplicate_line_stats",
