@@ -9,6 +9,18 @@ append to the clustered table — how a production crawler feeds the pipeline.
 
 Per micro-batch (`foreachBatch`), with `near_dup=True` (default):
 
+0. URL channel (opt-in via ``url_col=``) — the cheapest Common-Crawl
+   dedup signal, run BEFORE any content hashing: URLs are canonicalized
+   (operators/urldedup.py — scheme/case/www/port/slash/fragment/
+   tracking-param rules), in-batch recrawls collapse to the earliest
+   ``url_ts_col`` (then lowest id), and canonical keys already present
+   in the committed ``_url_index`` are dropped ("first crawl wins" —
+   a recrawl is dropped even when the page content changed; re-ingest
+   of updated pages is a policy choice this channel deliberately does
+   not make, matching the batch ``dedup_by_url`` stage). Every NEW
+   canonical url is recorded in the index whether or not its content
+   survives the later channels — a later recrawl of a content-dup page
+   is still a recrawl;
 1. exact channel — normalized-text fingerprint; first-per-fp within the
    batch, then anti-join against the committed fingerprint index;
 2. *within* the batch — ALL THREE batch recall channels (MinHash-LSH ∪
@@ -81,9 +93,10 @@ file set per batch per state table, so a quiescent-window rewrite folds
 all committed partitions into the ``batch_id = -1`` sentinel partition
 in the kb-range-clustered layout — O(1) files per key bucket again,
 reads and retry semantics unchanged.
-4. survivors append to the output plus three index tables — `_index`
-   (id, fp, signature, simhash), `_band_index` (id, band_id, band_hash)
-   and `_winnow_index` (id, wfp) — and one `_streaming_lineage` row
+4. survivors append to the output plus the index tables — `_index`
+   (id, fp, signature, simhash), `_band_index` (id, band_id, band_hash),
+   `_winnow_index` (id, wfp) and, when the URL channel is on,
+   `_url_index` (id, url_key) — and one `_streaming_lineage` row
    records the batch's decision counts (input, fresh, per-channel
    candidates/drops, borderline estimate outcomes incl. how many exact
    re-verifies FLIPPED the estimate's call, and the below-band kept tail)
@@ -141,6 +154,9 @@ from entity_deduplication_hack_main_spark.operators import (
 )
 from entity_deduplication_hack_main_spark.operators import lsh as lsh_op
 from entity_deduplication_hack_main_spark.operators import suffix as suffix_op
+from entity_deduplication_hack_main_spark.operators import (
+    urldedup as urldedup_op,
+)
 from entity_deduplication_hack_main_spark.operators import verify as verify_op
 from entity_deduplication_hack_main_spark.plans import fsutil
 
@@ -189,6 +205,8 @@ class StreamingDedup:
         holdout_threshold: float | None = None,
         holdout_ngram_n: int | None = None,
         holdout_ngram_frac: float = 0.7,
+        url_col: str | None = None,
+        url_ts_col: str | None = None,
     ) -> None:
         """holdout: optional benchmark/eval corpus (same id/text column
         names as the stream). When given, every micro-batch is
@@ -210,7 +228,14 @@ class StreamingDedup:
         instance and cached; the per-batch cost is one gram-kernel pass
         over the batch plus a broadcast mark (operators/decontaminate.py
         ngram_overlap_stats). Applies on the ``near_dup=False`` path too
-        (the gram pass is independent of the MinHash payload)."""
+        (the gram pass is independent of the MinHash payload).
+
+        url_col: when set, the URL channel runs FIRST on every batch
+        (module docstring item 0): canonicalized recrawls collapse
+        in-batch (earliest ``url_ts_col``, then lowest id) and against
+        the committed ``_url_index`` ("first crawl wins"); drops are
+        counted in the lineage row as ``n_url_dup``. Applies on both
+        the near-dup and exact-only paths."""
         self.spark = spark
         self.workdir = workdir
         self.config = config or DedupConfig()
@@ -224,9 +249,12 @@ class StreamingDedup:
         self.holdout_ngram_frac = holdout_ngram_frac
         self._holdout_payload: DataFrame | None = None
         self._holdout_grams: DataFrame | None = None
+        self.url_col = url_col
+        self.url_ts_col = url_ts_col
         self.index_path = os.path.join(workdir, "_index")
         self.band_path = os.path.join(workdir, "_band_index")
         self.winnow_path = os.path.join(workdir, "_winnow_index")
+        self.url_path = os.path.join(workdir, "_url_index")
         self.out_path = os.path.join(workdir, "deduped")
         self.lineage_path = os.path.join(workdir, "_streaming_lineage")
         self.checkpoint = os.path.join(workdir, "_checkpoint")
@@ -357,6 +385,22 @@ class StreamingDedup:
             df.where(F.col("batch_id") != F.lit(exclude_batch)), kbs
         )
 
+    def _url_index(
+        self,
+        exclude_batch: int,
+        id_type: str = "string",
+        kbs: list[int] | None = None,
+    ) -> DataFrame:
+        # one row per committed canonical url — the same bounded state
+        # class as the fingerprint index (narrow strings, never text)
+        df = self._read_or_empty(
+            self.url_path,
+            f"id {id_type}, url_key string, kb int, batch_id bigint",
+        )
+        return self._kb_prune(
+            df.where(F.col("batch_id") != F.lit(exclude_batch)), kbs
+        )
+
     def _overwrite_partition(self, df: DataFrame, path: str, batch_id: int):
         (
             df.withColumn("batch_id", F.lit(int(batch_id)))
@@ -387,6 +431,43 @@ class StreamingDedup:
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         cfg = self.config
         id_type = batch.schema[self.id_col].dataType.simpleString()
+
+        # URL channel (module docstring item 0) — before any content work:
+        # canonical recrawls collapse in-batch, committed canonical keys
+        # drop, and every NEW key is registered ("first crawl wins")
+        n_url_dup = 0
+        n_input = None
+        _url_kept = None
+        if self.url_col is not None:
+            n_input = batch.count()
+            keyed = urldedup_op.dedup_by_url(
+                batch,
+                id_col=self.id_col,
+                url_col=self.url_col,
+                ts_col=self.url_ts_col,
+            )
+            kbs_u = self._batch_kbs(keyed, F.col("url_key"))
+            prior_urls = (
+                self._url_index(
+                    exclude_batch=batch_id, id_type=id_type, kbs=kbs_u
+                )
+                .select("url_key")
+                .distinct()
+            )
+            # localCheckpoint BEFORE the index write: the anti-join's
+            # lineage reads url_path, which is overwritten just below
+            _url_kept = keyed.join(
+                prior_urls, "url_key", "left_anti"
+            ).localCheckpoint(eager=True)
+            n_url_dup = n_input - _url_kept.count()
+            self._write_index(
+                _url_kept.select(F.col(self.id_col).alias("id"), "url_key"),
+                self.url_path,
+                batch_id,
+                F.col("url_key"),
+            )
+            batch = _url_kept.drop("url_key")
+
         with_fp = batch.withColumn(
             "fp", textstats.fingerprint(F.col(self.text_col))
         )
@@ -451,10 +532,11 @@ class StreamingDedup:
             # the exact-only path records its decisions too (the holdout
             # docstring's audit promise must not depend on near_dup)
             counts = {
-                "n_input": batch.count(),
+                "n_input": batch.count() if n_input is None else n_input,
                 "n_fresh": fresh.count(),
                 "n_contaminated": n_contaminated,
                 "n_contaminated_ngram": n_contaminated_ngram,
+                "n_url_dup": n_url_dup,
             }
             self._overwrite_partition(
                 self.spark.createDataFrame(
@@ -465,6 +547,8 @@ class StreamingDedup:
                 batch_id,
             )
             fresh.unpersist()
+            if _url_kept is not None:
+                _url_kept.unpersist()
             return
         prior_full = self._index(exclude_batch=batch_id, id_type=id_type)
 
@@ -729,7 +813,7 @@ class StreamingDedup:
         est_says_drop = F.col("_est") >= F.lit(t)
         exact_says_drop = F.col("ex_jaccard") >= F.lit(t)
         counts = {
-            "n_input": batch.count(),
+            "n_input": batch.count() if n_input is None else n_input,
             "n_fresh": fresh.count(),
             "n_contaminated": n_contaminated,
             "n_contaminated_ngram": n_contaminated_ngram,
@@ -748,6 +832,7 @@ class StreamingDedup:
             "wn_candidates": wn_cand.count(),
             "wn_drop": wn_drop.count(),
             "n_survivors": survivors.count(),
+            "n_url_dup": n_url_dup,
         }
         schema = ", ".join(f"{k} bigint" for k in counts)
         self._overwrite_partition(
@@ -761,6 +846,8 @@ class StreamingDedup:
             df.unpersist()
         if _payload_raw is not None:
             _payload_raw.unpersist()
+        if _url_kept is not None:
+            _url_kept.unpersist()
 
     def _exact_pair_measures(
         self, pairs: DataFrame, batch_id: int, id_type: str
@@ -907,6 +994,7 @@ class StreamingDedup:
             ("index", self.index_path, True),
             ("band_index", self.band_path, True),
             ("winnow_index", self.winnow_path, True),
+            ("url_index", self.url_path, True),
             ("deduped", self.out_path, False),
         ):
             if not fsutil.exists(self.spark, path):

@@ -255,6 +255,13 @@ def main() -> None:
             holdout=holdout,
             holdout_ngram_n=args.holdout_ngram_n,
             holdout_ngram_frac=args.holdout_ngram_frac,
+            # --url-dedup applies to streaming too: the URL channel runs
+            # first per batch; earliest warc_ts wins when the stream
+            # schema carries it, else lowest id
+            url_col=args.url_col if args.url_dedup else None,
+            url_ts_col=(
+                "warc_ts" if "warc_ts" in args.streaming_schema else None
+            ),
         )
         t0 = time.monotonic()
         sd.start(args.streaming_source, args.streaming_schema).awaitTermination()

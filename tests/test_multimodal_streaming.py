@@ -634,3 +634,102 @@ def test_streaming_state_compaction(spark, tmp_path):
     )
     urls = {r["url"] for r in spark.read.parquet(sd.out_path).collect()}
     assert "uNew" in urls and "uDup" not in urls and "u0-1" in urls
+
+
+def test_streaming_url_channel_drops_recrawls(spark, tmp_path):
+    """URL channel (url_col=): tracking-decorated recrawls drop BEFORE any
+    content hashing — in-batch (earliest warc_ts, then lowest id) and
+    against the committed _url_index ("first crawl wins", even when the
+    recrawl's content changed) — while distinct pages flow through; drops
+    land in lineage as n_url_dup."""
+    import datetime as dt
+
+    wd = str(tmp_path / "wd")
+    schema = "url string, warc_ts timestamp, text string"
+    t0 = dt.datetime(2024, 1, 1)
+    sd = StreamingDedup(
+        spark, wd, config=_sd_config(), url_col="url", url_ts_col="warc_ts"
+    )
+    page = " ".join(f"tok{i}" for i in range(60))
+    other = " ".join(f"oth{i}" for i in range(60))
+    sd.process_batch(
+        spark.createDataFrame(
+            [
+                # later recrawl of /p (www + trailing slash decoration)
+                ("https://www.example.com/p/", t0 + dt.timedelta(days=1), page),
+                # earliest crawl of /p wins the in-batch URL dedup
+                ("https://example.com/p?utm_source=x", t0, page + " v0"),
+                ("https://example.com/q", t0, other),
+            ],
+            schema,
+        ),
+        0,
+    )
+    urls0 = {r["url"] for r in spark.read.parquet(sd.out_path).collect()}
+    assert urls0 == {
+        "https://example.com/p?utm_source=x",
+        "https://example.com/q",
+    }
+    lin = {
+        r["batch_id"]: r for r in spark.read.parquet(sd.lineage_path).collect()
+    }
+    assert lin[0]["n_url_dup"] == 1
+    assert lin[0]["n_input"] == 3  # pre-URL-channel input, not post
+
+    # batch 1: a recrawl of a COMMITTED url with DIFFERENT content (still
+    # a recrawl — first crawl wins) + a genuinely new page. The recrawl's
+    # text contains the new page's text, so if the URL channel failed the
+    # containment channel would merge them and the (lexicographically
+    # smaller) recrawl id would win representative — output distinguishes.
+    fresh = " ".join(f"new{i}" for i in range(60))
+    sd.process_batch(
+        spark.createDataFrame(
+            [
+                (
+                    "https://EXAMPLE.com/q?gclid=z",
+                    t0 + dt.timedelta(days=2),
+                    "changed " + fresh,
+                ),
+                ("https://example.com/r", t0 + dt.timedelta(days=2), fresh),
+            ],
+            schema,
+        ),
+        1,
+    )
+    urls = {r["url"] for r in spark.read.parquet(sd.out_path).collect()}
+    assert urls == urls0 | {"https://example.com/r"}
+    lin = {
+        r["batch_id"]: r for r in spark.read.parquet(sd.lineage_path).collect()
+    }
+    assert lin[1]["n_url_dup"] == 1
+    assert lin[1]["n_survivors"] == 1
+    # the index registered exactly the three canonical keys ever ingested
+    keys = {
+        r["url_key"]
+        for r in spark.read.parquet(sd.url_path).select("url_key").collect()
+    }
+    assert keys == {
+        "example.com/p",
+        "example.com/q",
+        "example.com/r",
+    }
+
+
+def test_streaming_url_channel_retry_is_idempotent(spark, tmp_path):
+    """A foreachBatch retry re-running the SAME batch must not self-drop
+    against the url keys its first attempt committed (exclude_batch) and
+    must overwrite, not append, its _url_index partition."""
+    wd = str(tmp_path / "wd")
+    schema = "url string, warc_ts timestamp, text string"
+    sd = StreamingDedup(
+        spark, wd, config=_sd_config(), url_col="url", url_ts_col="warc_ts"
+    )
+    b0 = spark.createDataFrame(
+        [("https://a.example/x", None, _BASE)], schema
+    )
+    sd.process_batch(b0, 0)
+    sd.process_batch(b0, 0)  # simulated retry
+    assert spark.read.parquet(sd.out_path).count() == 1
+    assert spark.read.parquet(sd.url_path).count() == 1
+    lin = spark.read.parquet(sd.lineage_path).collect()
+    assert len(lin) == 1 and lin[0]["n_url_dup"] == 0
