@@ -539,10 +539,10 @@ WITH _u AS (
 _raw AS (
   SELECT doc_id,
     CASE v
-      WHEN 0 THEN 'https://www.' || s || '.example/page/' || b || '/'
+      WHEN 0 THEN 'https://www.' || s || '.example:80/page/' || b || '/'
       WHEN 1 THEN 'https://' || s || '.example:443/page/' || b
                   || '?utm_source=feed&ref=rss'
-      WHEN 2 THEN 'http://' || s || '.example:80/page/' || b || '?b=2&a=1'
+      WHEN 2 THEN 'http://' || s || '.example:8080/page/' || b || '?b=2&a=1'
       WHEN 3 THEN 'https://' || s || '.example/page/' || b
                   || '?a=1&gclid=z&b=2'
       ELSE 'HTTPS://WWW.' || upper(s) || '.example/page/' || b || '#frag'
@@ -577,8 +577,13 @@ def url_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Common-Crawl channel, run before any content hashing) demonstrated
     cross-engine: deterministic recrawl/tracking-decorated URL variants
     are synthesized per doc (five shapes exercising every rule — www +
-    trailing slash, default :443 port + utm/ref params, :80 + out-of-order
-    params, gclid injection, uppercase host + fragment), canonicalized
+    default :80 port + trailing slash, :443 + utm/ref params, a
+    NON-default :8080 port with out-of-order params that must stay a
+    DISTINCT key (ports other than the scheme defaults are different
+    services, not recrawls — pinned cross-engine by this variant), gclid
+    injection, uppercase host + fragment; the variant index is
+    ``(doc_id div 10) % 5`` — per source doc_ids step 20, so the modulus
+    must be odd to cover every variant), canonicalized
     with the production `canonical_url_key` (JVM parse_url + array ops; the
     oracle replays the same rules with RE2 + list lambdas), and reduced to
     (url_key, n_pages, kept_id) via the production `url_dup_stats` +
@@ -600,7 +605,8 @@ def url_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             v == 0,
             F.concat(
-                F.lit("https://www."), s, F.lit(".example/page/"), b, F.lit("/")
+                F.lit("https://www."), s, F.lit(".example:80/page/"), b,
+                F.lit("/"),
             ),
         )
         .when(
@@ -613,7 +619,7 @@ def url_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(
             v == 2,
             F.concat(
-                F.lit("http://"), s, F.lit(".example:80/page/"), b,
+                F.lit("http://"), s, F.lit(".example:8080/page/"), b,
                 F.lit("?b=2&a=1"),
             ),
         )

@@ -15,7 +15,13 @@ expressions, no Python):
   path becomes the empty string);
 - query tracking parameters removed (``utm_*``, ``gclid``, ``fbclid``,
   ``ref``, ``fb_action_ids``), the remaining parameters SORTED so
-  ``?b=2&a=1`` == ``?a=1&b=2``; an emptied query disappears entirely.
+  ``?b=2&a=1`` == ``?a=1&b=2``; an emptied query disappears entirely;
+- NON-default ports are KEPT (``host:8080`` and ``host:9090`` are
+  different services, not recrawls); userinfo is dropped;
+- a URL with no ``scheme://authority`` canonicalizes to NULL = "no
+  canonical identity": such rows pass through dedup untouched and are
+  excluded from dup stats — malformed crawl URLs must never be silently
+  merged into one group or dropped.
 
 Scale shape: one narrow projection, then a single partial-aggregating
 ``groupBy(url_key)`` with ``min(struct(ts, id))`` + join-back — the same
@@ -34,8 +40,20 @@ TRACKING_PARAM_PAT = r"^(utm_[^=]*|gclid|fbclid|ref|fb_action_ids)="
 
 
 def canonical_url_key(url: Column) -> Column:
-    """The canonical dedup key of a URL (see module docstring)."""
-    host = F.lower(F.parse_url(url, F.lit("HOST")))
+    """The canonical dedup key of a URL (see module docstring), or NULL
+    when the URL has no ``scheme://authority`` — a NULL key means "no
+    canonical identity": :func:`dedup_by_url` passes such rows through
+    untouched and :func:`url_dup_stats` ignores them, so malformed crawl
+    URLs are never silently merged or dropped.
+
+    The authority is taken by regex, NOT ``parse_url(HOST)``: Spark's
+    HOST part strips EVERY port, which would merge distinct services on
+    the same host (``host:8080`` vs ``host:9090``) — only the scheme
+    default ports (:80/:443) are content-neutral, so only they are
+    stripped. Userinfo (``user@host``) is dropped like parse_url does."""
+    auth = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]+)", 1)
+    host = F.lower(auth)
+    host = F.regexp_replace(host, r"^[^@]*@", "")
     host = F.regexp_replace(host, r"^www\.", "")
     host = F.regexp_replace(host, r":(80|443)$", "")
     path = F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit(""))
@@ -46,17 +64,25 @@ def canonical_url_key(url: Column) -> Column:
         lambda p: (p != F.lit("")) & ~p.rlike(TRACKING_PARAM_PAT),
     )
     qnorm = F.array_join(F.array_sort(params), "&")
-    return F.concat(
-        host,
-        path,
-        F.when(qnorm != "", F.concat(F.lit("?"), qnorm)).otherwise(F.lit("")),
+    return F.when(
+        auth != "",
+        F.concat(
+            host,
+            path,
+            F.when(qnorm != "", F.concat(F.lit("?"), qnorm)).otherwise(
+                F.lit("")
+            ),
+        ),
     )
 
 
 def url_dup_stats(docs: DataFrame, url_col: str = "url") -> DataFrame:
-    """(url_key, n_pages) for every canonical key with >= 2 pages."""
+    """(url_key, n_pages) for every canonical key with >= 2 pages.
+    NULL keys (unparseable URLs, no canonical identity) are excluded —
+    they must not pool into one bogus mega-group."""
     return (
         docs.select(canonical_url_key(F.col(url_col)).alias("url_key"))
+        .where(F.col("url_key").isNotNull())
         .groupBy("url_key")
         .agg(F.count(F.lit(1)).alias("n_pages"))
         .where(F.col("n_pages") >= 2)
@@ -69,11 +95,23 @@ def dedup_by_url(
     url_col: str = "url",
     ts_col: str | None = "warc_ts",
 ) -> DataFrame:
-    """Keep one page per canonical URL: earliest *ts_col* (when given),
-    then lowest *id_col*. Input schema preserved, plus ``url_key``."""
+    """Keep one page per canonical URL: earliest *ts_col* (when given,
+    with NULL timestamps losing to any dated crawl — struct min would
+    otherwise sort nulls FIRST and an undated recrawl would beat the true
+    first crawl), then lowest *id_col*. Rows whose URL has no canonical
+    key (NULL — unparseable/scheme-less) pass through untouched: no
+    identity means no dedup, never a silent drop. Input schema preserved,
+    plus ``url_key``."""
     keyed = docs.withColumn("url_key", canonical_url_key(F.col(url_col)))
+    unkeyed = keyed.where(F.col("url_key").isNull())
+    keyed = keyed.where(F.col("url_key").isNotNull())
     occ = F.struct(
-        *([F.col(ts_col)] if ts_col else []), F.col(id_col)
+        *(
+            [F.col(ts_col).isNull().alias("_ts_missing"), F.col(ts_col)]
+            if ts_col
+            else []
+        ),
+        F.col(id_col),
     ).alias("_occ")
     winners = (
         keyed.select(F.col("url_key").alias("_wk"), occ)
@@ -83,4 +121,6 @@ def dedup_by_url(
     kept = keyed.join(
         winners, keyed["url_key"] == winners["_wk"], "inner"
     ).where(F.col(f"_first.{id_col}") == F.col(id_col))
-    return kept.select("url_key", *docs.columns)
+    return kept.select("url_key", *docs.columns).unionByName(
+        unkeyed.select("url_key", *docs.columns)
+    )

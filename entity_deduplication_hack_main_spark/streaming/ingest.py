@@ -19,8 +19,12 @@ Per micro-batch (`foreachBatch`), with `near_dup=True` (default):
    of updated pages is a policy choice this channel deliberately does
    not make, matching the batch ``dedup_by_url`` stage). Every NEW
    canonical url is recorded in the index whether or not its content
-   survives the later channels — a later recrawl of a content-dup page
-   is still a recrawl;
+   survives the later CONTENT channels — a later recrawl of a content-dup
+   page is still a recrawl — but contamination-flagged docs do NOT
+   register (the holdout promise: no dedup state sees them; a registered
+   key would block a clean future recrawl of that URL). URLs with no
+   canonical identity (NULL key: scheme-less/unparseable) pass through
+   every batch uncounted and unindexed;
 1. exact channel — normalized-text fingerprint; first-per-fp within the
    batch, then anti-join against the committed fingerprint index;
 2. *within* the batch — ALL THREE batch recall channels (MinHash-LSH ∪
@@ -401,6 +405,33 @@ class StreamingDedup:
             df.where(F.col("batch_id") != F.lit(exclude_batch)), kbs
         )
 
+    def _register_urls(
+        self,
+        url_kept: DataFrame | None,
+        batch_id: int,
+        contaminated: list[DataFrame],
+    ) -> None:
+        """Write the batch's NEW canonical urls into ``_url_index`` —
+        every in-batch URL winner EXCEPT contamination-flagged docs (the
+        holdout promise: no dedup state sees them; a registered key would
+        block a clean future recrawl of that URL forever). Content-dup
+        drops DO register. NULL keys (unparseable URLs — no canonical
+        identity) never enter the index. Each ``contaminated`` frame
+        carries the flagged doc ids in its single column; flags are
+        computed on the fp-channel survivors, so a contaminated doc whose
+        identical in-batch twin was fp-dropped still registers the twin's
+        URL — acceptable: that content is represented by the flagged twin
+        check, and the fp drop is a content decision, not a holdout one."""
+        if url_kept is None:
+            return
+        reg = url_kept.select(
+            F.col(self.id_col).alias("id"), "url_key"
+        ).where(F.col("url_key").isNotNull())
+        for bad in contaminated:
+            b = bad.select(F.col(bad.columns[0]).alias("id"))
+            reg = reg.join(F.broadcast(b), "id", "left_anti")
+        self._write_index(reg, self.url_path, batch_id, F.col("url_key"))
+
     def _overwrite_partition(self, df: DataFrame, path: str, batch_id: int):
         (
             df.withColumn("batch_id", F.lit(int(batch_id)))
@@ -454,19 +485,22 @@ class StreamingDedup:
                 .select("url_key")
                 .distinct()
             )
-            # localCheckpoint BEFORE the index write: the anti-join's
-            # lineage reads url_path, which is overwritten just below
+            # localCheckpoint BEFORE this batch's later url_path write:
+            # the anti-join's lineage reads url_path. NULL url_keys
+            # (unparseable URLs) pass dedup_by_url through and never match
+            # the anti-join — kept, with no index entry.
             _url_kept = keyed.join(
                 prior_urls, "url_key", "left_anti"
             ).localCheckpoint(eager=True)
             n_url_dup = n_input - _url_kept.count()
-            self._write_index(
-                _url_kept.select(F.col(self.id_col).alias("id"), "url_key"),
-                self.url_path,
-                batch_id,
-                F.col("url_key"),
-            )
             batch = _url_kept.drop("url_key")
+            # the index write is DEFERRED to the end of the batch (each
+            # path calls _register_urls): contaminated docs must not
+            # register their canonical key — the holdout promise is that
+            # NO dedup state sees them, and a registered key would block
+            # a future clean recrawl of that URL forever. Content-dup
+            # drops DO register (a recrawl of a dup page is still a
+            # recrawl).
 
         with_fp = batch.withColumn(
             "fp", textstats.fingerprint(F.col(self.text_col))
@@ -498,10 +532,16 @@ class StreamingDedup:
         # any representation/state work — quoted-eval-span docs never get
         # signatures computed, never reach an index
         n_contaminated_ngram = 0
+        _contam_flags: list[DataFrame] = []  # fed to _register_urls
         if self.holdout is not None and self.holdout_ngram_n is not None:
-            ng_flagged = self._ngram_contaminated_ids(fresh)
+            # checkpointed: reused by _register_urls AFTER the parent
+            # frame's checkpoint blocks are unpersisted
+            ng_flagged = self._ngram_contaminated_ids(fresh).localCheckpoint(
+                eager=True
+            )
             n_contaminated_ngram = ng_flagged.count()
             if n_contaminated_ngram:
+                _contam_flags.append(ng_flagged)
                 _fresh_pre_ngram = fresh
                 fresh = fresh.join(
                     F.broadcast(ng_flagged), self.id_col, "left_anti"
@@ -513,15 +553,22 @@ class StreamingDedup:
             if self.holdout is not None:
                 # exact decontamination channel only: no batch
                 # representation exists on this path (docstring)
-                n_before = fresh.count()
-                _fresh_pre_exact = fresh
-                fresh = fresh.join(
-                    F.broadcast(self._holdout_rep().select("fp").distinct()),
-                    "fp",
-                    "left_anti",
-                ).localCheckpoint(eager=True)
-                n_contaminated = n_before - fresh.count()
-                _fresh_pre_exact.unpersist()
+                hold_fps = F.broadcast(
+                    self._holdout_rep().select("fp").distinct()
+                )
+                exact_flagged = (
+                    fresh.join(hold_fps, "fp", "left_semi")
+                    .select(self.id_col)
+                    .localCheckpoint(eager=True)
+                )
+                n_contaminated = exact_flagged.count()
+                if n_contaminated:
+                    _contam_flags.append(exact_flagged)
+                    _fresh_pre_exact = fresh
+                    fresh = fresh.join(
+                        hold_fps, "fp", "left_anti"
+                    ).localCheckpoint(eager=True)
+                    _fresh_pre_exact.unpersist()
             self._overwrite_partition(fresh.drop("fp"), self.out_path, batch_id)
             self._write_index(
                 fresh.select(F.col(self.id_col).alias("id"), "fp"),
@@ -529,6 +576,7 @@ class StreamingDedup:
                 batch_id,
                 F.col("fp"),
             )
+            self._register_urls(_url_kept, batch_id, _contam_flags)
             # the exact-only path records its decisions too (the holdout
             # docstring's audit promise must not depend on near_dup)
             counts = {
@@ -563,15 +611,20 @@ class StreamingDedup:
         n_contaminated = 0
         _payload_raw = None
         if self.holdout is not None:
-            flagged = decon_op.decontaminate(
-                payload,
-                self._holdout_rep(),
-                cfg,
-                threshold=self.holdout_threshold,
-                broadcast_ref=True,
-            ).select(F.col("doc_id").alias("id"))
+            flagged = (
+                decon_op.decontaminate(
+                    payload,
+                    self._holdout_rep(),
+                    cfg,
+                    threshold=self.holdout_threshold,
+                    broadcast_ref=True,
+                )
+                .select(F.col("doc_id").alias("id"))
+                .localCheckpoint(eager=True)  # reused by _register_urls
+            )
             n_contaminated = flagged.count()
             if n_contaminated:
+                _contam_flags.append(flagged)
                 _payload_raw = payload
                 payload = payload.join(
                     F.broadcast(flagged), "id", "left_anti"
@@ -779,6 +832,40 @@ class StreamingDedup:
             .localCheckpoint(eager=True)
         )
 
+        # --- per-batch decision counts (r03 verdict #7) --------------------
+        # Evaluated BEFORE the index/output writes: the candidate frames
+        # (scored, bl_meas, …) read the committed index paths this batch is
+        # about to overwrite, and persist() alone does not pin them — AQE
+        # empty-relation pruning can skip a cached subtree entirely while
+        # materializing `survivors` (seen when the committed corpus is
+        # empty: the post-write count then re-listed the band index and
+        # collided with the batch's own fresh write). Counting here forces
+        # every frame onto its pre-write file listing.
+        est_says_drop = F.col("_est") >= F.lit(t)
+        exact_says_drop = F.col("ex_jaccard") >= F.lit(t)
+        counts = {
+            "n_input": batch.count() if n_input is None else n_input,
+            "n_fresh": fresh.count(),
+            "n_contaminated": n_contaminated,
+            "n_contaminated_ngram": n_contaminated_ngram,
+            "n_inbatch_drop": in_batch_drop.count(),
+            "mh_candidates": scored.count(),
+            "mh_sure_drop": sure_drop.count(),
+            "mh_borderline": bl_meas.count(),
+            "mh_borderline_drop": bl_meas.where(exact_says_drop).count(),
+            "mh_borderline_flipped": bl_meas.where(
+                est_says_drop != exact_says_drop
+            ).count(),
+            "mh_below_band_kept": scored.where(
+                F.col("_est") < F.lit(t - m)
+            ).count(),
+            "sh_drop": sh_drop.count(),
+            "wn_candidates": wn_cand.count(),
+            "wn_drop": wn_drop.count(),
+            "n_survivors": survivors.count(),
+            "n_url_dup": n_url_dup,
+        }
+
         out_rows = fresh.join(
             survivors.withColumnRenamed("id", self.id_col), self.id_col, "left_semi"
         )
@@ -805,35 +892,8 @@ class StreamingDedup:
             batch_id,
             F.col("wfp"),
         )
+        self._register_urls(_url_kept, batch_id, _contam_flags)
 
-        # --- per-batch decision counts into the lineage table ------------
-        # (r03 verdict #7: the estimate tail risk — borderline calls, exact
-        # re-verify flips, and the below-band kept tail — is now observable
-        # per batch instead of silently absorbed)
-        est_says_drop = F.col("_est") >= F.lit(t)
-        exact_says_drop = F.col("ex_jaccard") >= F.lit(t)
-        counts = {
-            "n_input": batch.count() if n_input is None else n_input,
-            "n_fresh": fresh.count(),
-            "n_contaminated": n_contaminated,
-            "n_contaminated_ngram": n_contaminated_ngram,
-            "n_inbatch_drop": in_batch_drop.count(),
-            "mh_candidates": scored.count(),
-            "mh_sure_drop": sure_drop.count(),
-            "mh_borderline": bl_meas.count(),
-            "mh_borderline_drop": bl_meas.where(exact_says_drop).count(),
-            "mh_borderline_flipped": bl_meas.where(
-                est_says_drop != exact_says_drop
-            ).count(),
-            "mh_below_band_kept": scored.where(
-                F.col("_est") < F.lit(t - m)
-            ).count(),
-            "sh_drop": sh_drop.count(),
-            "wn_candidates": wn_cand.count(),
-            "wn_drop": wn_drop.count(),
-            "n_survivors": survivors.count(),
-            "n_url_dup": n_url_dup,
-        }
         schema = ", ".join(f"{k} bigint" for k in counts)
         self._overwrite_partition(
             self.spark.createDataFrame([tuple(counts.values())], schema),

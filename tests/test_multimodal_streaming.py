@@ -733,3 +733,58 @@ def test_streaming_url_channel_retry_is_idempotent(spark, tmp_path):
     assert spark.read.parquet(sd.url_path).count() == 1
     lin = spark.read.parquet(sd.lineage_path).collect()
     assert len(lin) == 1 and lin[0]["n_url_dup"] == 0
+
+
+def test_streaming_url_channel_contaminated_urls_not_registered(
+    spark, tmp_path
+):
+    """A contamination-dropped doc must NOT register its canonical url —
+    the holdout promise is that NO dedup state sees contaminated docs,
+    and a registered key would block a clean future recrawl of that URL
+    forever. Content-dup drops still register (separate test above)."""
+    wd = str(tmp_path / "wd")
+    schema = "url string, warc_ts timestamp, text string"
+    eval_text = " ".join(f"ev{i}" for i in range(60))
+    holdout = spark.createDataFrame([("h1", None, eval_text)], schema)
+    sd = StreamingDedup(
+        spark,
+        wd,
+        config=_sd_config(),
+        url_col="url",
+        url_ts_col="warc_ts",
+        holdout=holdout,
+    )
+    sd.process_batch(
+        spark.createDataFrame(
+            [("https://h.example/quote", None, eval_text)], schema
+        ),
+        0,
+    )
+    lin = {
+        r["batch_id"]: r for r in spark.read.parquet(sd.lineage_path).collect()
+    }
+    assert lin[0]["n_contaminated"] == 1
+    # schema-enforced production reader: the index dir may exist with
+    # zero files when every batch doc was contamination-dropped
+    keys = {
+        r["url_key"] for r in sd._url_index(exclude_batch=-999).collect()
+    }
+    assert "h.example/quote" not in keys
+    # a CLEAN page at the same canonical url must still be ingestible
+    fresh = " ".join(f"cl{i}" for i in range(60))
+    sd.process_batch(
+        spark.createDataFrame(
+            [("https://www.h.example/quote/", None, fresh)], schema
+        ),
+        1,
+    )
+    urls = {r["url"] for r in spark.read.parquet(sd.out_path).collect()}
+    assert urls == {"https://www.h.example/quote/"}
+    lin = {
+        r["batch_id"]: r for r in spark.read.parquet(sd.lineage_path).collect()
+    }
+    assert lin[1]["n_url_dup"] == 0
+    keys = {
+        r["url_key"] for r in sd._url_index(exclude_batch=-999).collect()
+    }
+    assert keys == {"h.example/quote"}

@@ -20,6 +20,13 @@ def test_canonical_url_key_rules(spark):
         ("https://example.com/p?utm_campaign=y&gclid=1&fbclid=2&ref=t", "example.com/p"),
         # root path collapses; real params survive
         ("https://example.com/?q=spark", "example.com?q=spark"),
+        # NON-default port kept (different service, not a recrawl)
+        ("http://example.com:8080/a", "example.com:8080/a"),
+        # userinfo dropped like parse_url does
+        ("https://user:pw@www.example.com:443/a", "example.com/a"),
+        # no scheme://authority -> NULL key (no canonical identity)
+        ("example.com/p", None),
+        ("not a url at all", None),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [
@@ -98,3 +105,29 @@ def test_pipeline_url_dedup_stage_drops_recrawls(spark):
     ids = {r["id"] for r in res.assignments.collect()}
     assert len(ids) == n  # the 3 recrawls never reached representation
     assert all(i < 100000 for i in ids)  # originals won (earlier warc_ts)
+
+
+def test_dedup_by_url_null_ts_loses_and_null_key_passes_through(spark):
+    """An undated (NULL warc_ts) recrawl must NOT beat a dated first
+    crawl (struct min would sort nulls first), and rows whose URL has no
+    canonical key pass through untouched — never merged, never dropped."""
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 5)
+    rows = [
+        (1, "https://a.example/x", t, "dated original"),
+        (2, "https://www.a.example/x/", None, "undated recrawl"),
+        (3, "garbage-no-scheme", None, "unparseable A"),
+        (4, "still no scheme", None, "unparseable B"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, url string, warc_ts timestamp, text string"
+    )
+    out = {r["doc_id"]: r for r in urldedup.dedup_by_url(df).collect()}
+    assert set(out) == {1, 3, 4}  # dated crawl wins; unparseables kept
+    assert out[1]["url_key"] == "a.example/x"
+    assert out[3]["url_key"] is None and out[4]["url_key"] is None
+    # NULL keys never pool into a dup group
+    assert urldedup.url_dup_stats(df, "url").where(
+        "url_key IS NULL"
+    ).count() == 0
