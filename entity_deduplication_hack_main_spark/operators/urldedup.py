@@ -50,22 +50,31 @@ def canonical_url_key(url: Column) -> Column:
     HOST part strips EVERY port, which would merge distinct services on
     the same host (``host:8080`` vs ``host:9090``) — only the scheme
     default ports (:80/:443) are content-neutral, so only they are
-    stripped. Userinfo (``user@host``) is dropped like parse_url does."""
+    stripped. Userinfo (``user@host``, up to the LAST ``@`` per RFC 3986)
+    is dropped like parse_url does.
+
+    PATH/QUERY come from ``try_parse_url`` — the plain ``parse_url``
+    RAISES under Spark 4's default ANSI mode on malformed scheme-bearing
+    URLs (unencoded spaces etc., endemic in crawl data), which would
+    abort the whole job; and with ANSI off it returns NULL parts, which a
+    bare ``coalesce('')`` would collapse into host-only keys that merge
+    every malformed URL on a host. Instead, URL validity gates the whole
+    key: unparseable → NULL → passthrough."""
     auth = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]+)", 1)
     host = F.lower(auth)
-    host = F.regexp_replace(host, r"^[^@]*@", "")
+    host = F.regexp_replace(host, r"^.*@", "")
     host = F.regexp_replace(host, r"^www\.", "")
     host = F.regexp_replace(host, r":(80|443)$", "")
-    path = F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit(""))
+    path = F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit(""))
     path = F.regexp_replace(path, r"/$", "")
-    query = F.coalesce(F.parse_url(url, F.lit("QUERY")), F.lit(""))
+    query = F.coalesce(F.try_parse_url(url, F.lit("QUERY")), F.lit(""))
     params = F.filter(
         F.split(query, "&"),
         lambda p: (p != F.lit("")) & ~p.rlike(TRACKING_PARAM_PAT),
     )
     qnorm = F.array_join(F.array_sort(params), "&")
     return F.when(
-        auth != "",
+        (auth != "") & F.try_parse_url(url, F.lit("HOST")).isNotNull(),
         F.concat(
             host,
             path,
@@ -103,8 +112,6 @@ def dedup_by_url(
     identity means no dedup, never a silent drop. Input schema preserved,
     plus ``url_key``."""
     keyed = docs.withColumn("url_key", canonical_url_key(F.col(url_col)))
-    unkeyed = keyed.where(F.col("url_key").isNull())
-    keyed = keyed.where(F.col("url_key").isNotNull())
     occ = F.struct(
         *(
             [F.col(ts_col).isNull().alias("_ts_missing"), F.col(ts_col)]
@@ -114,13 +121,20 @@ def dedup_by_url(
         F.col(id_col),
     ).alias("_occ")
     winners = (
-        keyed.select(F.col("url_key").alias("_wk"), occ)
+        keyed.where(F.col("url_key").isNotNull())
+        .select(F.col("url_key").alias("_wk"), occ)
         .groupBy("_wk")
         .agg(F.min("_occ").alias("_first"))
     )
+    # ONE pass over docs: NULL-key rows simply never match the (left)
+    # winner join and are kept by the isNull leg — a separate
+    # filter+union branch would scan the corpus (and evaluate the key
+    # expression chain) twice, which dominates at the "run this FIRST
+    # at 10^12 pages" position this operator holds
     kept = keyed.join(
-        winners, keyed["url_key"] == winners["_wk"], "inner"
-    ).where(F.col(f"_first.{id_col}") == F.col(id_col))
-    return kept.select("url_key", *docs.columns).unionByName(
-        unkeyed.select("url_key", *docs.columns)
+        winners, keyed["url_key"] == winners["_wk"], "left"
+    ).where(
+        F.col("url_key").isNull()
+        | (F.col(f"_first.{id_col}") == F.col(id_col))
     )
+    return kept.select("url_key", *docs.columns)

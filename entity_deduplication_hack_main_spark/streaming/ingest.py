@@ -421,7 +421,16 @@ class StreamingDedup:
         computed on the fp-channel survivors, so a contaminated doc whose
         identical in-batch twin was fp-dropped still registers the twin's
         URL — acceptable: that content is represented by the flagged twin
-        check, and the fp drop is a content decision, not a holdout one."""
+        check, and the fp drop is a content decision, not a holdout one.
+
+        Known same-batch corner: a contaminated doc can still WIN the
+        in-batch URL dedup, dropping a clean doc at the same canonical
+        key from the SAME batch before contamination is known — that
+        batch's clean copy is lost, but because the winner's key is NOT
+        registered here, any future recrawl of the URL ingests cleanly.
+        Avoiding the loss entirely would require decontaminating the full
+        pre-URL-dedup batch (representation for every recrawl), defeating
+        the channel's run-first cost purpose."""
         if url_kept is None:
             return
         reg = url_kept.select(
@@ -533,12 +542,14 @@ class StreamingDedup:
         # signatures computed, never reach an index
         n_contaminated_ngram = 0
         _contam_flags: list[DataFrame] = []  # fed to _register_urls
+        _flag_ckpts: list[DataFrame] = []  # every checkpointed flag frame
         if self.holdout is not None and self.holdout_ngram_n is not None:
             # checkpointed: reused by _register_urls AFTER the parent
             # frame's checkpoint blocks are unpersisted
             ng_flagged = self._ngram_contaminated_ids(fresh).localCheckpoint(
                 eager=True
             )
+            _flag_ckpts.append(ng_flagged)
             n_contaminated_ngram = ng_flagged.count()
             if n_contaminated_ngram:
                 _contam_flags.append(ng_flagged)
@@ -561,6 +572,7 @@ class StreamingDedup:
                     .select(self.id_col)
                     .localCheckpoint(eager=True)
                 )
+                _flag_ckpts.append(exact_flagged)
                 n_contaminated = exact_flagged.count()
                 if n_contaminated:
                     _contam_flags.append(exact_flagged)
@@ -597,6 +609,8 @@ class StreamingDedup:
             fresh.unpersist()
             if _url_kept is not None:
                 _url_kept.unpersist()
+            for df in _flag_ckpts:
+                df.unpersist()
             return
         prior_full = self._index(exclude_batch=batch_id, id_type=id_type)
 
@@ -622,6 +636,7 @@ class StreamingDedup:
                 .select(F.col("doc_id").alias("id"))
                 .localCheckpoint(eager=True)  # reused by _register_urls
             )
+            _flag_ckpts.append(flagged)
             n_contaminated = flagged.count()
             if n_contaminated:
                 _contam_flags.append(flagged)
@@ -908,6 +923,8 @@ class StreamingDedup:
             _payload_raw.unpersist()
         if _url_kept is not None:
             _url_kept.unpersist()
+        for df in _flag_ckpts:
+            df.unpersist()
 
     def _exact_pair_measures(
         self, pairs: DataFrame, batch_id: int, id_type: str

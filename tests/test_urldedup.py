@@ -27,6 +27,10 @@ def test_canonical_url_key_rules(spark):
         # no scheme://authority -> NULL key (no canonical identity)
         ("example.com/p", None),
         ("not a url at all", None),
+        # scheme-bearing but MALFORMED (unencoded space): plain parse_url
+        # RAISES under Spark 4 ANSI — must be NULL, not a crash, and not
+        # a host-only key that merges every malformed URL on the host
+        ("https://example.com/a b", None),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [
