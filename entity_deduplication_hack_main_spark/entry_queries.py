@@ -80,9 +80,40 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(spark: SparkSession, df: DataFrame, mult: int = 2) -> DataFrame:
+    """Round-robin spread sized off the session's core count (never a
+    constant — scale-adaptive per the driver contract). The testdata
+    tables are ONE parquet file each = one scan task, so every expression
+    upstream of the first exchange (tokenize/hash kernels, regex chains,
+    fingerprints) runs single-threaded without this; a real cluster's
+    multi-file scan already arrives spread and the extra few-MB shuffle is
+    noise. Same rationale + sizing as the r04 similar_part_names fix
+    (measured there: 9s → 1.4s)."""
+    return df.repartition(spark.sparkContext.defaultParallelism * mult)
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    """Materialize a multi-consumer intermediate ONCE per invocation
+    (eager localCheckpoint). Catalyst duplicates the entire upstream
+    subtree per DataFrame reference — the r05 verify_candidate_pairs
+    physical plan carried 44 copies of the representation kernel and 74
+    Exchanges because candidate generation, the semi-reduce id set and
+    both payload joins each re-embed it (plans/r06/*_before.txt). Pinning
+    computes the subtree once inside the invocation and truncates the
+    plan. NOT cross-run caching: every invocation builds a fresh
+    checkpoint from the parquet inputs, and unlike .cache()/persist(),
+    CacheManager never substitutes a localCheckpoint into a later
+    plan-identical query — repeated bench legs recompute from scratch."""
+    return df.localCheckpoint()
+
+
 def _docs_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     return represent.with_representation(
-        _t(spark, sf_dir, "documents"), CFG, "doc_id", "text", "md5"
+        _spread(spark, _t(spark, sf_dir, "documents")),
+        CFG,
+        "doc_id",
+        "text",
+        "md5",
     )
 
 
@@ -124,7 +155,7 @@ FROM documents
 )
 def exact_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on the normalized-text fingerprint (C1)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     w = Window.partitionBy(textstats.fingerprint(F.col("text")))
     return docs.select(
         "doc_id", F.min("doc_id").over(w).alias("cluster_id")
@@ -136,7 +167,7 @@ def exact_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"SELECT doc_id, {textstats.sql_fingerprint('text')} AS fp FROM documents",
 )
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id", textstats.fingerprint(F.col("text")).alias("fp")
     )
@@ -152,7 +183,7 @@ FROM documents
 """,
 )
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     return docs.withColumn(
         "_toks", textstats.tokens_col(F.col("text"))
     ).select(
@@ -178,7 +209,7 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     count (normalized) and the GPT-2-style BPE-ish pre-tokenizer segment
     count over the RAW text — the cheap length-in-tokens estimate a
     training-data pipeline budgets with."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         textstats.bpe_token_count(F.col("text"))
@@ -247,9 +278,9 @@ FROM _bands a JOIN _bands b
 """,
 )
 def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = _docs_payload(spark, sf_dir)
+    p = _docs_payload(spark, sf_dir).select("id", "signature")
     bands = lsh_op.band_hashes(p, CFG, "signature", "id")
-    return lsh_op.candidate_pairs(bands, CFG)
+    return lsh_op.candidate_pairs(bands, CFG, materialize=True)
 
 
 @register(
@@ -257,9 +288,15 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify_op.sql_verify_pairs(CFG),
 )
 def verify_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = _docs_payload(spark, sf_dir)
+    # ONE kernel pass: the payload feeds banding AND both verify joins —
+    # pinned so the plan holds one copy (was 44 MapInArrow nodes, r05)
+    p = _pin(
+        _docs_payload(spark, sf_dir).select(
+            "id", "signature", "shingle_set", "fp"
+        )
+    )
     bands = lsh_op.band_hashes(p, CFG, "signature", "id")
-    pairs = lsh_op.candidate_pairs(bands, CFG)
+    pairs = _pin(lsh_op.candidate_pairs(bands, CFG, materialize=True))
     return verify_op.verify_pairs(
         pairs, p.select("id", "shingle_set", "fp"), CFG
     )
@@ -297,7 +334,7 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _docs_payload(spark, sf_dir)
     return ham_op.hamming_candidate_pairs(
-        p.select("id", "simhash"), CFG, nbits=60
+        p.select("id", "simhash"), CFG, nbits=60, materialize=True
     )
 
 
@@ -306,8 +343,8 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     suffix_op.sql_winnowed_pairs(CFG),
 )
 def winnow_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = _docs_payload(spark, sf_dir)
-    return suffix_op.winnow_pairs_from_payload(p)
+    p = _docs_payload(spark, sf_dir).select("id", "winnow_fps")
+    return suffix_op.winnow_pairs_from_payload(p, materialize=True)
 
 
 _EDGES_SQL = f"""
@@ -322,10 +359,18 @@ SELECT id1, id2 FROM ({verify_op.sql_verify_pairs(CFG)}) WHERE status = 'pass'
     ),
 )
 def lsh_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH channel end-to-end: candidates → verify pass → CC."""
-    p = _docs_payload(spark, sf_dir)
+    """MinHash-LSH channel end-to-end: candidates → verify pass → CC.
+
+    The payload is pinned (one kernel pass feeds banding, both verify
+    joins AND the CC vertex universe — previously each reference re-ran
+    the kernel); candidate members are pinned inside candidate_pairs."""
+    p = _pin(
+        _docs_payload(spark, sf_dir).select(
+            "id", "signature", "shingle_set", "fp"
+        )
+    )
     bands = lsh_op.band_hashes(p, CFG, "signature", "id")
-    pairs = lsh_op.candidate_pairs(bands, CFG)
+    pairs = _pin(lsh_op.candidate_pairs(bands, CFG, materialize=True))
     verified = verify_op.verify_pairs(
         pairs, p.select("id", "shingle_set", "fp"), CFG
     )
@@ -383,7 +428,9 @@ def decontaminate_vs_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch decontamination (operators/decontaminate.py): every-10th doc
     plays the benchmark holdout; flag train docs that exactly or nearly
     match it — the keep-eval-out-of-training operation."""
-    p = _docs_payload(spark, sf_dir)
+    # pinned: train/ref filters and the operator's fp/band/shingle channels
+    # each re-reference the payload (6 kernel copies in the r05 plan)
+    p = _pin(_docs_payload(spark, sf_dir))
     train = p.where(F.col("id") % 10 != 0)
     ref = p.where(F.col("id") % 10 == 0)
     return decon_op.decontaminate(train, ref, CFG)
@@ -405,7 +452,7 @@ def ngram_overlap_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction of its distinct 13-grams occurring anywhere in the holdout
     (GPT-3 appendix C's n; PaLM's 0.7 flag fraction) — catches partial
     containment (a quoted eval question) that whole-doc channels miss."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     train = docs.where(F.col("doc_id") % 10 != 0)
     ref = docs.where(F.col("doc_id") % 10 == 0)
     return decon_op.ngram_overlap_stats(
@@ -427,11 +474,12 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shape) runs on ONE task. Wall-neutral at sf0.1 (the join/distinct
     # dominates there), load-bearing at larger single-file inputs. Same
     # rationale as knn_ivf/event_sessions.
-    docs = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
-    p = setjoin_op.shingle_sets(docs, CFG, "doc_id", "text", "md5")
-    return setjoin_op.ngram_jaccard_pairs(p, CFG)
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    # pinned: the prefix index (x2), its df cap, and both full-set verify
+    # joins re-reference the kernel output — 12 Python-boundary nodes in
+    # the r05 plan; one pass + one pinned posting index after
+    p = _pin(setjoin_op.shingle_sets(docs, CFG, "doc_id", "text", "md5"))
+    return setjoin_op.ngram_jaccard_pairs(p, CFG, materialize=True)
 
 
 @register(
@@ -665,7 +713,7 @@ FROM documents
 """,
 )
 def lang_stopword_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     return docs.withColumn(
         "_toks", textstats.tokens_col(F.col("text"))
     ).select(
@@ -713,7 +761,7 @@ SELECT lang, token, n, rank FROM _rk WHERE rank <= 5
 )
 def top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1 top-k per group over exploded tokens."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     toks = docs.select(
         "lang",
         F.explode(textnorm.tokens(textnorm.normalize(F.col("text")))).alias(
@@ -754,7 +802,7 @@ FROM _q
 """,
 )
 def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     return docs.withColumn(
         "_toks", textstats.tokens_col(F.col("text"))
     ).select(
@@ -779,7 +827,7 @@ def unigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity gate (functions/lm.py): in-corpus unigram
     LM mean log-probability per doc + exact head/middle/tail terciles
     (the ntile oracle twin; production uses perplexity_buckets)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     scored = lm_fn.unigram_logprob(docs)
     return lm_fn.perplexity_buckets_exact(scored)
 
@@ -836,7 +884,7 @@ def curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     representative). Every signal reuses the individually-oracled
     operator; this query proves they compose in ONE plan (the window is
     fingerprint-partitioned; everything else is per-row JVM)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     d = docs.withColumn("_toks", textstats.tokens_col(F.col("text")))
     rat = {
         lg: F.round(textstats.stopword_ratio_from(F.col("_toks"), lg), 6)
@@ -1067,27 +1115,57 @@ def similar_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant) spreads the probe side when the scan is a single small file
     (sf0.1 is one task otherwise — measured 9s → 1.4s); a key-partitioned
     shuffle join at cluster scale re-shuffles anyway."""
+    # r06: decide on distinct names, expand to id pairs afterwards (guide
+    # §8: make every expensive step operate on a lightweight proxy). The
+    # levenshtein cost of the id-level block join is
+    # Σ_block |a_block|·|b_block| — ~10⁹ candidate distances at sf1.0
+    # (measured 35-45 s) even though the name column holds only tens of
+    # DISTINCT values (3000+ copies each at sf1.0): every distance is
+    # recomputed millions of times. Instead: (1) the same (brand,
+    # length±4) blocked join, run over the DISTINCT (brand, name) table —
+    # thousands of levenshteins, not billions; (2) the qualifying
+    # (brand, n1, n2, lev) name pairs (bounded by the true result's name
+    # pairs — broadcast-sized by construction) are attached back to the id
+    # rows with two equi-joins and the id1 < id2 filter. Each unordered id
+    # pair arrives exactly once (its ORDERED name pair (name(id1),
+    # name(id2)) is unique, and name_pairs carries both orders plus the
+    # n1 = n2 diagonal). Data with fully distinct names degrades to
+    # exactly the old plan shape plus one cheap distinct — the rewrite is
+    # semantically identical for any input.
     p = _t(spark, sf_dir, "part")
-    n_part = spark.sparkContext.defaultParallelism * 2
+    dn = p.select("p_brand", "p_name").distinct()
+    x = dn.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_name").alias("n1"),
+        F.explode(
+            F.sequence(F.length("p_name") - 4, F.length("p_name") + 4)
+        ).alias("lb"),
+    ).repartition(spark.sparkContext.defaultParallelism * 2)
+    y = dn.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_name").alias("n2"),
+        F.length("p_name").alias("lb"),
+    )
+    name_pairs = (
+        x.join(y, ["brand", "lb"])
+        .select("brand", "n1", "n2", F.levenshtein("n1", "n2").alias("lev"))
+        .where(F.col("lev") <= 4)
+    )
     a = p.select(
         F.col("p_partkey").alias("id1"),
         F.col("p_name").alias("n1"),
         F.col("p_brand").alias("brand"),
-        F.explode(
-            F.sequence(F.length("p_name") - 4, F.length("p_name") + 4)
-        ).alias("lb"),
-    ).repartition(n_part)
+    )
     b = p.select(
         F.col("p_partkey").alias("id2"),
         F.col("p_name").alias("n2"),
         F.col("p_brand").alias("brand"),
-        F.length("p_name").alias("lb"),
     )
     return (
-        a.join(b, ["brand", "lb"])
+        a.join(F.broadcast(name_pairs), ["brand", "n1"])
+        .join(b, ["brand", "n2"])
         .where(F.col("id1") < F.col("id2"))
-        .select("id1", "id2", F.levenshtein("n1", "n2").alias("lev"))
-        .where(F.col("lev") <= 4)
+        .select("id1", "id2", "lev")
     )
 
 
@@ -1285,7 +1363,7 @@ FROM (
 )
 def exact_dup_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 match counting over exact-dup groups."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     groups = (
         docs.groupBy(textstats.fingerprint(F.col("text")).alias("fp"))
         .agg(F.count("*").alias("n"))
@@ -1437,7 +1515,9 @@ def knn_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
     at matmul speed (see knn.brute_force_knn_matmul)."""
     emb = _t(spark, sf_dir, "embeddings")
     probes = emb.where(F.col("vec_id") % 10 == 0)
-    return knn_op.brute_force_knn_matmul(probes, emb, k=5)
+    # the corpus side does all the matmul work inside mapInPandas — the
+    # single-file scan is ONE task without the spread
+    return knn_op.brute_force_knn_matmul(probes, _spread(spark, emb), k=5)
 
 
 @register(
@@ -1463,7 +1543,12 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the corpus side does all cell-assignment + cosine work — spread it
     # (same rationale + sizing as similar_part_names)
     corpus = base.repartition(spark.sparkContext.defaultParallelism * 2)
-    return knn_op.ivf_knn(
+    # matmul candidate scoring (knn.ivf_knn_matmul): cell assignment stays
+    # the exact JVM argmax on both sides; only the O(P·N/n_cells·nprobe)
+    # fold-cosine scoring moves into per-batch matmul with the proven
+    # guard-band + exact-rescore rule — bit-identical to ivf_knn and the
+    # oracle (pytest: test_ivf_knn_matmul_equals_expression)
+    return knn_op.ivf_knn_matmul(
         probes, corpus, dim=64, k=5, n_cells=16, nprobe=4,
         id_col="vec_id", vec_col="v",
     )
@@ -1605,9 +1690,9 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs, with token offsets in both — no candidate pairs in. Catches the
     20-50-token verbatim runs below the winnow channel's 52-token
     guarantee (see operators/suffix.py substring_spans_exact)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     return suffix_op.substring_spans_exact(
-        docs, CFG, span_k=20, hash_strategy="md5"
+        docs, CFG, span_k=20, hash_strategy="md5", materialize=True
     )
 
 
@@ -1620,9 +1705,9 @@ def substring_cut_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicated >= 20-token run removed from the higher-id doc — the
     downstream product of exact_substring_spans a training-data pipeline
     actually consumes."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     spans = suffix_op.substring_spans_exact(
-        docs, CFG, span_k=20, hash_strategy="md5"
+        docs, CFG, span_k=20, hash_strategy="md5", materialize=True
     )
     return suffix_op.cut_spans(docs, spans)
 
@@ -1637,9 +1722,9 @@ def substring_cut_docs_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     punctuation and whitespace outside the cut ranges are untouched, so the
     output can substitute for the corpus as training data. The normalized-
     token variant (`substring_cut_docs`) remains for diffing."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     spans = suffix_op.substring_spans_exact(
-        docs, CFG, span_k=20, hash_strategy="md5"
+        docs, CFG, span_k=20, hash_strategy="md5", materialize=True
     )
     return suffix_op.cut_spans_raw(docs, spans)
 
@@ -1669,7 +1754,7 @@ def embedding_near_dup_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     12 planes × 16 tables the analytic miss probability per planted pair
     is ~1e-23, so set equality is deterministic in practice; the recall
     gate on clustered synthetic vectors lives in pytest."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
     base = emb.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
@@ -1681,9 +1766,12 @@ def embedding_near_dup_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice("v", 2, 63),
         ).alias("v"),
     )
-    allv = base.unionByName(pert)
+    # pinned: the hyperplane banding (mapInPandas matmul) and both verify
+    # vector joins re-reference allv — one build instead of three
+    allv = _pin(base.unionByName(pert))
     return knn_op.embedding_near_dup_lsh(
-        allv, dim=64, threshold=0.99, id_col="vec_id", vec_col="v"
+        allv, dim=64, threshold=0.99, id_col="vec_id", vec_col="v",
+        materialize=True,
     )
 
 
@@ -1705,7 +1793,7 @@ _SQL_TEXT_NL = (
 
 
 def _docs_nl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _t(spark, sf_dir, "documents").select(
+    return _spread(spark, _t(spark, sf_dir, "documents")).select(
         "doc_id",
         F.regexp_replace(F.col("text"), _LINE_PAT, "$1\n").alias("text"),
     )
@@ -1863,7 +1951,7 @@ def quality_pareto_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact keep set; the learned operators/quality.py score is the
     production input). Deterministic u from the md5 sampler hash; the
     Pareto power is a multiplication tree, never libm pow."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     cols = textstats.gopher_quality_cols(F.col("text"))
     toks = textnorm.tokens(textnorm.normalize(F.col("text")))
     nt = F.size(toks)
@@ -1976,7 +2064,7 @@ def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-category match counts in redaction order + md5 of the redacted
     text (byte-exact cross-engine). Pure JVM regex chain — no shuffle,
     no Python."""
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _spread(spark, _t(spark, sf_dir, "documents")).select(
         "doc_id", _pii_aug().alias("t")
     )
     counts = pii_fn.pii_count_cols(F.col("t"))
@@ -2000,10 +2088,10 @@ def semantic_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/semdedup.py). τ=0.35 matches this synthetic corpus's
     cosine scale (near-dup channel uses 0.3); real encoder embeddings
     would run ~0.95."""
-    emb = _t(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
+    return semdedup_op.semantic_dedup(
+        emb, dim=64, config=CFG, threshold=0.35, materialize=True
     )
-    return semdedup_op.semantic_dedup(emb, dim=64, config=CFG, threshold=0.35)
 
 
 # ===========================================================================

@@ -34,7 +34,11 @@ def simhash_table(
 
 
 def hamming_candidate_pairs(
-    sim_table: DataFrame, config: DedupConfig, nbits: int = 64, max_bucket: int = 10000
+    sim_table: DataFrame,
+    config: DedupConfig,
+    nbits: int = 64,
+    max_bucket: int = 10000,
+    materialize: bool = False,
 ) -> DataFrame:
     """Distinct (id1, id2, hamming) with hamming <= config.hamming_radius.
 
@@ -42,19 +46,33 @@ def hamming_candidate_pairs(
     (block_id, block_key), verify exact Hamming distance. Buckets above
     max_bucket (degenerate fingerprints, e.g. empty docs) are dropped —
     a documented coverage cap mirroring LSH bucket salting.
-    """
-    from pyspark.sql import Window
 
+    Bucket sizes come from a partial-aggregating ``groupBy(key).count()``
+    joined back (r05 verdict #1) — a count-window here shuffled every
+    member of a degenerate-fingerprint bucket to one reducer before
+    counting; the groupBy collapses hot keys map-side and the join-back
+    streams them (see lsh.candidate_pairs for the full rationale).
+
+    materialize: pin the sized block table (localCheckpoint) — the a/b
+    self-join branches re-reference it, re-running the simhash input
+    subtree per branch otherwise. Off by default for streaming batches.
+    """
     blocks = sim_table.select(
         "id",
         "simhash",
         F.explode(shash.simhash_blocks(F.col("simhash"), config, nbits)).alias("b"),
     ).select("id", "simhash", "b.block_id", "b.block_key")
     key = ["block_id", "block_key"]
-    # window count = one shuffle; the self-join reuses its partitioning
-    blocks = blocks.withColumn(
-        "n", F.count("*").over(Window.partitionBy(*key))
-    ).where((F.col("n") >= 2) & (F.col("n") <= max_bucket))
+    if materialize:
+        blocks = blocks.localCheckpoint()  # size count + join both re-ref
+    sizes = (
+        blocks.groupBy(*key)
+        .agg(F.count("*").alias("n"))
+        .where((F.col("n") >= 2) & (F.col("n") <= max_bucket))
+    )
+    blocks = blocks.join(sizes, key)
+    if materialize:
+        blocks = blocks.localCheckpoint()
     a, b = blocks.alias("a"), blocks.alias("b")
     ham = shash.hamming(F.col("a.simhash"), F.col("b.simhash"))
     return (

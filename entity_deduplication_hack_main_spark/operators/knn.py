@@ -98,6 +98,7 @@ def brute_force_knn_matmul(
     import pandas as pd
     from collections.abc import Iterator
 
+    _guard_probe_count(probes)
     rows = probes.select(id_col, vec_col).collect()
     probe_ids = np.array([r[0] for r in rows], dtype=np.int64)
     pm = np.array([r[1] for r in rows], dtype=np.float64)
@@ -147,6 +148,26 @@ def brute_force_knn_matmul(
         k,
     )
     return ranked.select("probe_id", "neighbor_id", "cosine", "rank")
+
+
+#: Probe-side collect cap for the matmul kNN paths (r05 verdict #7): the
+#: probe matrix lives on the driver and inside every task's closure, so an
+#: accidental full-corpus "probe" set must fail fast with direction, not
+#: OOM the driver. 500k probes × 128 dims ≈ 512 MB — the practical ceiling.
+MAX_COLLECTED_PROBES = 500_000
+
+
+def _guard_probe_count(probes: DataFrame, cap: int | None = None) -> None:
+    """limit-probe before collecting (the cluster.py:98 pattern): count at
+    most cap+1 rows so an over-cap input never materializes on the driver."""
+    if cap is None:
+        cap = MAX_COLLECTED_PROBES  # read at call time (testable)
+    if probes.limit(cap + 1).count() > cap:
+        raise ValueError(
+            f"probe side exceeds {cap} rows — the matmul paths collect "
+            "probes to the driver; use ivf_knn/lsh_bucketed_knn with a "
+            "distributed probe join for probe sets this large"
+        )
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
@@ -293,6 +314,7 @@ def embedding_near_dup_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     config: "DedupConfig | None" = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """(id1, id2, cosine): the PRODUCTION self-join near-dup channel — no
     label column, no crossJoin. Candidates share >= 1 hyperplane bucket
@@ -311,7 +333,9 @@ def embedding_near_dup_lsh(
     bands = hyperplane_bands(
         df, dim, n_planes, n_tables, seed, id_col, vec_col
     )
-    pairs = lsh_op.candidate_pairs(bands, config or DedupConfig())
+    pairs = lsh_op.candidate_pairs(
+        bands, config or DedupConfig(), materialize=materialize
+    )
     a = df.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
     b = df.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
     return (
@@ -506,6 +530,174 @@ def ivf_knn(
     )
     return top_k_per_group(
         scored,
+        ["probe_id"],
+        [F.col("cosine").desc(), F.col("neighbor_id").asc()],
+        k,
+    ).select("probe_id", "neighbor_id", "cosine", "rank")
+
+
+def ivf_knn_matmul(
+    probes: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 69,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    anchors: np.ndarray | None = None,
+    score_round: int = 6,
+) -> DataFrame:
+    """:func:`ivf_knn` with matmul candidate scoring — bit-identical
+    output at matmul throughput (the brute_force_knn_matmul pattern
+    applied to the IVF structure; guide §4.2).
+
+    Where the work moves: :func:`ivf_knn` scores EVERY (probe, same-cell
+    corpus row) pair with the three-fold cosine expression and ranks the
+    full candidate set through the window — at nprobe/n_cells of the
+    corpus per probe that is the dominant cost (measured: the sf1.0
+    bench's 10M fold-cosines). Here:
+
+    - cell assignment stays the EXACT JVM rounded-dot argmax on both
+      sides (parity with the oracle's HALF_UP rounding — numpy's
+      banker's rounding must never decide a cell);
+    - probe cells are computed by the same JVM slice expression and
+      collected (probes are small by contract — :func:`_guard_probe_count`
+      enforces it) into one normalized matrix;
+    - each corpus Arrow batch contributes, per probed cell, its per-probe
+      top-(k+1) candidates by matmul with a 2e-6 tie margin (every row
+      that could ROUND into the k-th slot survives — the r03-proven
+      candidate rule of brute_force_knn_matmul);
+    - the tiny candidate set is re-scored with the same sequential-fold
+      cosine and ranked, so ties and rounding land exactly where the
+      expression path (and its SQL oracle) put them.
+    """
+    import pandas as pd
+    from collections.abc import Iterator
+
+    if anchors is None:
+        anchors = ivf_anchors(dim, n_cells, seed)
+    n_cells = len(anchors)
+    _guard_probe_count(probes)
+    pv = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pv")
+    )
+    p_cells = pv.select(
+        "probe_id",
+        "pv",
+        F.explode(
+            F.slice(
+                F.reverse(
+                    F.array_sort(F.array(*_ivf_cell_scores("pv", anchors)))
+                ),
+                1,
+                min(nprobe, n_cells),
+            )["i"]
+        ).alias("cell"),
+    )
+    probe_ids_list: list = []
+    vecs: list = []
+    index_of: dict = {}
+    cell_lists: dict[int, list[int]] = {}
+    for r in p_cells.collect():
+        pid = r["probe_id"]
+        if pid not in index_of:
+            index_of[pid] = len(probe_ids_list)
+            probe_ids_list.append(pid)
+            vecs.append(r["pv"])
+        cell_lists.setdefault(int(r["cell"]), []).append(index_of[pid])
+    probe_ids = np.array(probe_ids_list, dtype=np.int64)
+    pm = np.array(vecs, dtype=np.float64) if vecs else np.zeros((0, dim))
+    if len(pm):
+        pm /= np.maximum(np.linalg.norm(pm, axis=1, keepdims=True), 1e-300)
+    cell_map = {
+        c: np.array(v, dtype=np.int64) for c, v in cell_lists.items()
+    }
+    tie_tol = 2.0 * 10.0 ** (-score_round)
+
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    c_cells = cv.withColumn(
+        "cell", F.array_max(F.array(*_ivf_cell_scores("cv", anchors)))["i"]
+    )
+    vec_t = corpus.schema[vec_col].dataType.simpleString()
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # candidates are pruned TWICE inside the task: per batch-cell group
+        # (bounds accumulation) and once per probe across the whole task —
+        # then emitted as (probe_id, neighbor_id) ONLY. An earlier version
+        # shipped the candidate vectors along (the brute-force pattern) and
+        # paid ~1.6 GB of Arrow list traffic at sf1.0; ids are 16 bytes and
+        # the rescore joins the (broadcastable) vector tables back.
+        acc_p: list = []
+        acc_n: list = []
+        acc_s: list = []
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for cell, g in pdf.groupby("cell"):
+                pidx = cell_map.get(int(cell))
+                if pidx is None:
+                    continue
+                cm = np.array(list(g["cv"]), dtype=np.float64)
+                cm /= np.maximum(
+                    np.linalg.norm(cm, axis=1, keepdims=True), 1e-300
+                )
+                sims = cm @ pm[pidx].T  # (rows_in_cell, probes_on_cell)
+                kth = min(k + 1, sims.shape[0])  # +1: possible self-match
+                thr = -np.partition(-sims, kth - 1, axis=0)[kth - 1]
+                ri, pj = np.nonzero(sims >= (thr - tie_tol)[None, :])
+                acc_p.append(pidx[pj])
+                acc_n.append(g["neighbor_id"].to_numpy()[ri])
+                acc_s.append(sims[ri, pj])
+        if not acc_p:
+            return
+        p = np.concatenate(acc_p)
+        n = np.concatenate(acc_n)
+        s = np.concatenate(acc_s)
+        order = np.lexsort((-s, p))
+        p, n, s = p[order], n[order], s[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], p[1:] != p[:-1]))
+        )
+        counts = np.diff(np.concatenate((starts, [len(p)])))
+        rank_kth = starts + np.minimum(k, counts - 1)  # (k+1)-th per probe
+        keep = s >= np.repeat(s[rank_kth], counts) - tie_tol
+        yield pd.DataFrame(
+            {"probe_id": probe_ids[p[keep]], "neighbor_id": n[keep]}
+        )
+
+    # candidate set is bounded at tasks × probes × (k+1+ties) id pairs —
+    # pinned so the distinct-neighbor semi-reduce and the rescore join
+    # don't re-run the scoring pass. The corpus vector lookup is
+    # semi-reduced to candidate neighbors first (the verify_pairs
+    # pattern): never a corpus broadcast, never a full-corpus shuffle.
+    partials = (
+        c_cells.select("neighbor_id", "cv", "cell")
+        .mapInPandas(score, "probe_id bigint, neighbor_id bigint")
+        .where(F.col("probe_id") != F.col("neighbor_id"))
+        .localCheckpoint()
+    )
+    cvr = cv.join(
+        F.broadcast(partials.select("neighbor_id").distinct()),
+        "neighbor_id",
+        "left_semi",
+    )
+    rescored = (
+        partials.join(F.broadcast(pv), "probe_id")
+        .join(cvr, "neighbor_id")
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(simfn.cosine(F.col("pv"), F.col("cv")), score_round).alias(
+                "cosine"
+            ),
+        )
+    )
+    return top_k_per_group(
+        rescored,
         ["probe_id"],
         [F.col("cosine").desc(), F.col("neighbor_id").asc()],
         k,

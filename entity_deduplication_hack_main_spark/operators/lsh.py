@@ -150,23 +150,49 @@ def _pairs_norm(df: DataFrame, left: str, right: str) -> DataFrame:
     ).where(F.col("id1") != F.col("id2"))
 
 
-def candidate_pairs(bands: DataFrame, config: DedupConfig) -> DataFrame:
+def candidate_pairs(
+    bands: DataFrame, config: DedupConfig, materialize: bool = False
+) -> DataFrame:
     """Distinct (id1, id2) pairs sharing >= 1 LSH bucket, salted for skew.
 
     bands: output of :func:`band_hashes`.
 
-    Bucket sizes come from a window count over the bucket key — ONE shuffle
-    whose hash partitioning the subsequent self-join reuses (vs the naive
-    groupBy+join+join chain, which adds two more exchanges and AQE stage
-    barriers; measured ~2x faster at 100k docs).
-    """
-    from pyspark.sql import Window
+    Bucket sizes come from a partial-aggregating ``groupBy(key).count()``
+    joined back onto the band rows (r05 verdict #1; guide §2.3 "aggregate
+    before you shuffle"). The previous count-window over the bucket key
+    shuffled EVERY member of a hot bucket to one reducer task before
+    counting — the same single-task hot-key materialization the gram df
+    cap removed from the span pass (suffix.py:323). The groupBy collapses
+    a boilerplate bucket to one long per map partition; the join back
+    merely streams the hot bucket's rows through a co-partitioned join
+    (same exchange, reused) that AQE skew-join can split. Singleton
+    buckets are dropped by joining against the ``bucket_n >= 2`` count
+    table, exactly as the window filter did.
 
+    materialize: ``localCheckpoint`` the sized member table before pair
+    generation. The cold/hot/left/right branches below re-reference it
+    FOUR times — Catalyst duplicates the whole upstream subtree per
+    reference (the r05 verify_candidate_pairs plan carried 44 copies of
+    the representation kernel), so the banding input would be recomputed
+    per branch. Pinning computes it once per invocation; each invocation
+    checkpoints afresh, so nothing persists across bench legs. Off by
+    default: streaming micro-batches are smaller than the checkpoint
+    overhead.
+    """
     key = ["band_id", "band_hash"]
-    w = Window.partitionBy(*key)
-    members = bands.withColumn("bucket_n", F.count("*").over(w)).where(
-        F.col("bucket_n") >= 2  # singleton buckets produce no pairs
+    if materialize:
+        # pin the band table FIRST: the size count and the join-back are
+        # two references — unpinned, each re-runs whatever produced the
+        # bands (the representation kernel / hyperplane matmul)
+        bands = bands.localCheckpoint()
+    sizes = (
+        bands.groupBy(*key)
+        .agg(F.count("*").alias("bucket_n"))
+        .where(F.col("bucket_n") >= 2)  # singleton buckets produce no pairs
     )
+    members = bands.join(sizes, key)
+    if materialize:
+        members = members.localCheckpoint()
 
     cold = members.where(F.col("bucket_n") <= config.max_bucket_size)
     hot = members.where(F.col("bucket_n") > config.max_bucket_size)

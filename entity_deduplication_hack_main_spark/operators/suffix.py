@@ -39,6 +39,7 @@ def winnow_pairs_from_payload(
     min_df: int = 2,
     max_df: int | None = None,
     min_shared: int = 2,
+    materialize: bool = False,
 ) -> DataFrame:
     """Distinct (id1, id2) sharing >= min_shared winnowed fingerprints.
 
@@ -52,16 +53,27 @@ def winnow_pairs_from_payload(
     2.8M coincidental 1-fp pairs at 100k docs); true containment pairs
     share most of the contained doc's fingerprints, so >= 2 keeps them
     while cutting coincidence quadratically.
-    """
-    from pyspark.sql import Window
 
+    Fingerprint df comes from a partial-aggregating ``groupBy(wfp).count()``
+    joined back (r05 verdict #1) — the previous count-window shuffled every
+    posting of a hot boilerplate fingerprint to one reducer before
+    counting; the groupBy collapses hot keys map-side (lsh.candidate_pairs
+    has the full rationale). materialize: pin the df-marked posting table,
+    re-referenced by both self-join branches.
+    """
     if max_df is None:
         max_df = DedupConfig().winnow_max_df
     fps = payload.select("id", F.explode("winnow_fps").alias("wfp"))
-    # window count = one shuffle; the self-join reuses its partitioning
-    m = fps.withColumn(
-        "df", F.count("*").over(Window.partitionBy("wfp"))
-    ).where((F.col("df") >= min_df) & (F.col("df") <= max_df))
+    if materialize:
+        fps = fps.localCheckpoint()  # df count + join both re-ref
+    sizes = (
+        fps.groupBy("wfp")
+        .agg(F.count("*").alias("df"))
+        .where((F.col("df") >= min_df) & (F.col("df") <= max_df))
+    )
+    m = fps.join(sizes, "wfp")
+    if materialize:
+        m = m.localCheckpoint()
     return (
         m.alias("a")
         .join(m.alias("b"), "wfp")
@@ -245,6 +257,7 @@ def substring_spans_exact(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_strategy: str = "xxhash64",
+    materialize: bool = False,
 ) -> DataFrame:
     """(id1, id2, start1, start2, span_len): every maximal verbatim token
     run of >= min_span tokens shared between two docs — REFERENCE-FREE
@@ -301,6 +314,14 @@ def substring_spans_exact(
         eligible, cfg_k, id_col="id", token_hash_col="_th"
     )
     g = sh.select("id", F.posexplode("shingles").alias("pos", "g"))
+    if materialize:
+        # the hot-gram count and the anti-joined cold side below both
+        # re-reference `g` — without pinning, the tokenize + shingle kernel
+        # and the posexplode run twice over the corpus (one gram row per
+        # token, the largest intermediate in this pass). One invocation-
+        # scoped localCheckpoint halves the pass; off by default for
+        # callers (pipeline StageCommitter) that already cache upstream.
+        g = g.localCheckpoint()
     # ONE kernel + gram pass: bucket members per gram (bounded by max_df,
     # so the array is <= max_df structs), then pair within the bucket via
     # two narrow explodes. A count-window + self-join formulation would
