@@ -1151,7 +1151,9 @@ def similar_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("brand", "n1", "n2", F.levenshtein("n1", "n2").alias("lev"))
         .where(F.col("lev") <= 4)
     )
-    a = p.select(
+    # the probe stream emits the full ~10⁸-row expansion — spread the
+    # single-file scan or the whole emit runs on one task
+    a = _spread(spark, p).select(
         F.col("p_partkey").alias("id1"),
         F.col("p_name").alias("n1"),
         F.col("p_brand").alias("brand"),
@@ -1161,9 +1163,15 @@ def similar_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_name").alias("n2"),
         F.col("p_brand").alias("brand"),
     )
+    # both expansion joins broadcast (name_pairs is result-bounded; b is
+    # one narrow row per part) so the ~10⁸-row expansion at sf1.0 is two
+    # pipelined map-side BHJs emitting (id1, id2, lev) — never a
+    # sort-merge shuffle of the fanned-out stream; names are projected
+    # away as soon as each join consumes them (guide §2.3)
     return (
         a.join(F.broadcast(name_pairs), ["brand", "n1"])
-        .join(b, ["brand", "n2"])
+        .select("id1", "brand", "n2", "lev")
+        .join(F.broadcast(b), ["brand", "n2"])
         .where(F.col("id1") < F.col("id2"))
         .select("id1", "id2", "lev")
     )
@@ -1517,7 +1525,9 @@ def knn_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = emb.where(F.col("vec_id") % 10 == 0)
     # the corpus side does all the matmul work inside mapInPandas — the
     # single-file scan is ONE task without the spread
-    return knn_op.brute_force_knn_matmul(probes, _spread(spark, emb), k=5)
+    return knn_op.brute_force_knn_matmul(
+        probes, _spread(spark, emb, 1), k=5
+    )
 
 
 @register(
@@ -1542,7 +1552,7 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-file testdata scan = ONE task; the probe side broadcasts, so
     # the corpus side does all cell-assignment + cosine work — spread it
     # (same rationale + sizing as similar_part_names)
-    corpus = base.repartition(spark.sparkContext.defaultParallelism * 2)
+    corpus = base.repartition(spark.sparkContext.defaultParallelism)
     # matmul candidate scoring (knn.ivf_knn_matmul): cell assignment stays
     # the exact JVM argmax on both sides; only the O(P·N/n_cells·nprobe)
     # fold-cosine scoring moves into per-batch matmul with the proven
@@ -1754,7 +1764,12 @@ def embedding_near_dup_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     12 planes × 16 tables the analytic miss probability per planted pair
     is ~1e-23, so set equality is deterministic in practice; the recall
     gate on clustered synthetic vectors lives in pytest."""
-    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
+    # mult=1: embedding tables are small rows-wise; finer splits only add
+    # task overhead (128-partition variant measured 8.9 s vs 5.8 s).
+    # allv stays LAZY — its transform is cheap and the banding is pinned
+    # inside candidate_pairs, so re-evaluating allv per verify join is
+    # cheaper than an extra eager checkpoint job.
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings"), 1)
     base = emb.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
@@ -1766,9 +1781,7 @@ def embedding_near_dup_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice("v", 2, 63),
         ).alias("v"),
     )
-    # pinned: the hyperplane banding (mapInPandas matmul) and both verify
-    # vector joins re-reference allv — one build instead of three
-    allv = _pin(base.unionByName(pert))
+    allv = base.unionByName(pert)
     return knn_op.embedding_near_dup_lsh(
         allv, dim=64, threshold=0.99, id_col="vec_id", vec_col="v",
         materialize=True,
@@ -2088,7 +2101,7 @@ def semantic_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/semdedup.py). τ=0.35 matches this synthetic corpus's
     cosine scale (near-dup channel uses 0.3); real encoder embeddings
     would run ~0.95."""
-    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
+    emb = _spread(spark, _t(spark, sf_dir, "embeddings"), 1)
     return semdedup_op.semantic_dedup(
         emb, dim=64, config=CFG, threshold=0.35, materialize=True
     )

@@ -71,8 +71,6 @@ def hamming_candidate_pairs(
         .where((F.col("n") >= 2) & (F.col("n") <= max_bucket))
     )
     blocks = blocks.join(sizes, key)
-    if materialize:
-        blocks = blocks.localCheckpoint()
     a, b = blocks.alias("a"), blocks.alias("b")
     ham = shash.hamming(F.col("a.simhash"), F.col("b.simhash"))
     return (

@@ -336,16 +336,29 @@ def embedding_near_dup_lsh(
     pairs = lsh_op.candidate_pairs(
         bands, config or DedupConfig(), materialize=materialize
     )
-    a = df.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
-    b = df.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
+    # per-vector L2 norm precomputed ONCE per side (guide §1.2 per-task
+    # work): simfn.cosine folds three 64-element aggregates per PAIR
+    # (dot + both norms) — at millions of candidate pairs the norm folds
+    # dominate. d / (nm1 * nm2) with nm = l2_norm(v) is the identical
+    # float expression tree (same multiply, same divide), so results are
+    # bit-equal; only where the norms are evaluated moves.
+    nm = simfn.l2_norm(F.col(vec_col))
+    a = df.select(
+        F.col(id_col).alias("id1"),
+        F.col(vec_col).alias("v1"),
+        nm.alias("nm1"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id2"),
+        F.col(vec_col).alias("v2"),
+        nm.alias("nm2"),
+    )
+    n12 = F.col("nm1") * F.col("nm2")
+    cos = F.when(n12 > 0, simfn.dot(F.col("v1"), F.col("v2")) / n12)
     return (
         pairs.join(a, "id1")
         .join(b, "id2")
-        .select(
-            "id1",
-            "id2",
-            F.round(simfn.cosine(F.col("v1"), F.col("v2")), 6).alias("cosine"),
-        )
+        .select("id1", "id2", F.round(cos, 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
 
@@ -685,15 +698,19 @@ def ivf_knn_matmul(
         "neighbor_id",
         "left_semi",
     )
+    # per-vector norms precomputed per side; d/(nmp*nmc) is the identical
+    # float expression to simfn.cosine (see embedding_near_dup_lsh)
+    pvn = pv.withColumn("_nmp", simfn.l2_norm(F.col("pv")))
+    cvn = cvr.withColumn("_nmc", simfn.l2_norm(F.col("cv")))
+    n12 = F.col("_nmp") * F.col("_nmc")
+    cos = F.when(n12 > 0, simfn.dot(F.col("pv"), F.col("cv")) / n12)
     rescored = (
-        partials.join(F.broadcast(pv), "probe_id")
-        .join(cvr, "neighbor_id")
+        partials.join(F.broadcast(pvn), "probe_id")
+        .join(cvn, "neighbor_id")
         .select(
             "probe_id",
             "neighbor_id",
-            F.round(simfn.cosine(F.col("pv"), F.col("cv")), score_round).alias(
-                "cosine"
-            ),
+            F.round(cos, score_round).alias("cosine"),
         )
     )
     return top_k_per_group(

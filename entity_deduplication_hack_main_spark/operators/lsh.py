@@ -181,9 +181,13 @@ def candidate_pairs(
     """
     key = ["band_id", "band_hash"]
     if materialize:
-        # pin the band table FIRST: the size count and the join-back are
-        # two references — unpinned, each re-runs whatever produced the
-        # bands (the representation kernel / hyperplane matmul)
+        # pin the band table: the size count, the join-back and the four
+        # cold/hot pair branches all re-reference it — unpinned, each
+        # re-runs whatever produced the bands (the representation kernel /
+        # hyperplane matmul). Pinning MEMBERS as well was measured SLOWER
+        # (extra eager job + barrier outweighs recomputing the cheap
+        # narrow join from pinned bands; 6.7 vs 5.8 s at sf1.0 on the
+        # hyperplane channel).
         bands = bands.localCheckpoint()
     sizes = (
         bands.groupBy(*key)
@@ -191,8 +195,6 @@ def candidate_pairs(
         .where(F.col("bucket_n") >= 2)  # singleton buckets produce no pairs
     )
     members = bands.join(sizes, key)
-    if materialize:
-        members = members.localCheckpoint()
 
     cold = members.where(F.col("bucket_n") <= config.max_bucket_size)
     hot = members.where(F.col("bucket_n") > config.max_bucket_size)

@@ -72,8 +72,6 @@ def winnow_pairs_from_payload(
         .where((F.col("df") >= min_df) & (F.col("df") <= max_df))
     )
     m = fps.join(sizes, "wfp")
-    if materialize:
-        m = m.localCheckpoint()
     return (
         m.alias("a")
         .join(m.alias("b"), "wfp")

@@ -242,15 +242,21 @@ def run_pipeline(
         # bigint band keys on the production path (md5 strings are the
         # oracle rendering) — ~2.5x less banding-shuffle volume
         band_fn = "xxhash64" if hash_strategy == "xxhash64" else "md5"
+        # materialize=True pins each channel's exploded index (bands /
+        # blocks / fps) once per build: the size-count + join-back +
+        # pair branches re-reference it, and the committer cache only
+        # covers the payload BELOW these, not the banding work itself
         lsh_pairs = lsh.candidate_pairs(
             lsh.band_hashes(payload, config, "signature", "id", band_fn),
             config,
+            materialize=True,
         ).withColumn("channel", F.lit("minhash_lsh"))
         sim_pairs = ham.hamming_candidate_pairs(
-            payload.select("id", "simhash"), config, nbits
+            payload.select("id", "simhash"), config, nbits,
+            materialize=True,
         ).select("id1", "id2", F.lit("simhash").alias("channel"))
         win_pairs = suffix.winnow_pairs_from_payload(
-            payload, max_df=config.winnow_max_df
+            payload, max_df=config.winnow_max_df, materialize=True
         ).withColumn("channel", F.lit("winnow"))
         return (
             lsh_pairs.unionByName(sim_pairs)
