@@ -154,8 +154,13 @@ FROM documents
 """,
 )
 def exact_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: hash-groupBy on the normalized-text fingerprint (C1)."""
-    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    """Exact dedup: hash-groupBy on the normalized-text fingerprint (C1).
+
+    No _spread here: the fingerprint expression is evaluated under the
+    window's own exchange, and measured r06, adding a round-robin spread
+    cost more than the single-task fingerprint pass (1.01 vs 0.72 s at
+    sf1.0)."""
+    docs = _t(spark, sf_dir, "documents")
     w = Window.partitionBy(textstats.fingerprint(F.col("text")))
     return docs.select(
         "doc_id", F.min("doc_id").over(w).alias("cluster_id")
@@ -452,7 +457,11 @@ def ngram_overlap_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction of its distinct 13-grams occurring anywhere in the holdout
     (GPT-3 appendix C's n; PaLM's 0.7 flag fraction) — catches partial
     containment (a quoted eval question) that whole-doc channels miss."""
-    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    # no _spread: the ref branch sits under a BroadcastExchange whose
+    # subtree cannot reuse the train branch's repartition exchange, so a
+    # spread runs twice and serializes the broadcast build (measured
+    # 3.2 s vs 0.9 s at sf0.1, +0.8 s at sf1.0)
+    docs = _t(spark, sf_dir, "documents")
     train = docs.where(F.col("doc_id") % 10 != 0)
     ref = docs.where(F.col("doc_id") % 10 == 0)
     return decon_op.ngram_overlap_stats(
@@ -474,12 +483,14 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shape) runs on ONE task. Wall-neutral at sf0.1 (the join/distinct
     # dominates there), load-bearing at larger single-file inputs. Same
     # rationale as knn_ivf/event_sessions.
-    docs = _spread(spark, _t(spark, sf_dir, "documents"))
-    # pinned: the prefix index (x2), its df cap, and both full-set verify
-    # joins re-reference the kernel output — 12 Python-boundary nodes in
-    # the r05 plan; one pass + one pinned posting index after
-    p = _pin(setjoin_op.shingle_sets(docs, CFG, "doc_id", "text", "md5"))
-    return setjoin_op.ngram_jaccard_pairs(p, CFG, materialize=True)
+    docs = _spread(spark, _t(spark, sf_dir, "documents"), 1)
+    # pins measured NEUTRAL here at sf1.0 (17.3 vs 17.5 s) and pure
+    # overhead at sf0.1 — the cost is the candidate join + array_intersect
+    # verify, not the kernel; three restructures (late distinct,
+    # overlap-count verify, PPJoin positional filter) were measured and
+    # rejected (OPTIMIZATION_r06.md)
+    p = setjoin_op.shingle_sets(docs, CFG, "doc_id", "text", "md5")
+    return setjoin_op.ngram_jaccard_pairs(p, CFG)
 
 
 @register(
@@ -761,7 +772,9 @@ SELECT lang, token, n, rank FROM _rk WHERE rank <= 5
 )
 def top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1 top-k per group over exploded tokens."""
-    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    # no _spread: explode+groupBy is shuffle-bound; the spread was
+    # measured pure overhead at both scales (r06)
+    docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
         "lang",
         F.explode(textnorm.tokens(textnorm.normalize(F.col("text")))).alias(
@@ -827,8 +840,11 @@ def unigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity gate (functions/lm.py): in-corpus unigram
     LM mean log-probability per doc + exact head/middle/tail terciles
     (the ntile oracle twin; production uses perplexity_buckets)."""
-    docs = _spread(spark, _t(spark, sf_dir, "documents"))
-    scored = lm_fn.unigram_logprob(docs)
+    # no _spread (measured worse at both scales: the vocab aggregation
+    # repartitions anyway); the pinned token table (materialize) is the
+    # win — 3.5 -> 2.6 s at sf1.0, 0.7 -> 0.5 s at sf0.1
+    docs = _t(spark, sf_dir, "documents")
+    scored = lm_fn.unigram_logprob(docs, materialize=True)
     return lm_fn.perplexity_buckets_exact(scored)
 
 
@@ -1371,7 +1387,7 @@ FROM (
 )
 def exact_dup_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 match counting over exact-dup groups."""
-    docs = _spread(spark, _t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents")
     groups = (
         docs.groupBy(textstats.fingerprint(F.col("text")).alias("fp"))
         .agg(F.count("*").alias("n"))
@@ -1805,8 +1821,18 @@ _SQL_TEXT_NL = (
 )
 
 
-def _docs_nl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _spread(spark, _t(spark, sf_dir, "documents")).select(
+def _docs_nl(
+    spark: SparkSession, sf_dir: str, spread: bool = True
+) -> DataFrame:
+    """spread=True for per-row-compute-bound consumers (the Gopher
+    kernels: measured 5.45 → 1.54 s at sf1.0); spread=False for the
+    line-dedup family, whose explode + groupBy repartitions anyway and
+    whose dual-branch join-back re-runs the spread exchange (measured
+    pure overhead at both scales)."""
+    docs = _t(spark, sf_dir, "documents")
+    if spread:
+        docs = _spread(spark, docs)
+    return docs.select(
         "doc_id",
         F.regexp_replace(F.col("text"), _LINE_PAT, "$1\n").alias("text"),
     )
@@ -1835,7 +1861,9 @@ def duplicate_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide duplicated-line inventory (the boilerplate report):
     (line, n_docs, n_occurrences) for every line occurring >= 2 times.
     Partial-aggregating groupBy on the raw line — hot-key safe."""
-    return linededup_op.duplicate_line_stats(_docs_nl(spark, sf_dir))
+    return linededup_op.duplicate_line_stats(
+        _docs_nl(spark, sf_dir, spread=False)
+    )
 
 
 @register(
@@ -1851,7 +1879,7 @@ def line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     line occurrence after the globally first (by (doc_id, line_no)) is
     removed; docs are preserved (possibly emptied). groupBy min-occurrence
     + join-back — no per-key arrays (operators/linededup.py)."""
-    out = linededup_op.dedup_lines(_docs_nl(spark, sf_dir))
+    out = linededup_op.dedup_lines(_docs_nl(spark, sf_dir, spread=False))
     return out.withColumnRenamed("id", "doc_id")
 
 
@@ -2000,7 +2028,9 @@ def dup_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     )
     p = setjoin_op.shingle_sets(docs, CFG, "doc_id", "text", "md5")
-    return setjoin_op.dup_shingle_stats(p).withColumnRenamed("id", "doc_id")
+    return setjoin_op.dup_shingle_stats(
+        p, materialize=True
+    ).withColumnRenamed("id", "doc_id")
 
 
 _BM25_TERMS = ["spark", "customer", "vector"]

@@ -48,15 +48,22 @@ def unigram_logprob(
     id_col: str = "doc_id",
     text_col: str = "text",
     broadcast_vocab: bool = False,
+    materialize: bool = False,
 ) -> DataFrame:
     """(id, n_tokens, mean_logprob) per document under the in-corpus
     unigram LM. ``mean_logprob`` is ``avg(ln(count(tok)/total_tokens))``
     rounded to 6 (absorbing summation-order ulps so the DuckDB oracle is
-    bit-identical); empty docs get :data:`EMPTY_DOC_SCORE`."""
+    bit-identical); empty docs get :data:`EMPTY_DOC_SCORE`.
+
+    materialize: pin the exploded token table (localCheckpoint) — the
+    vocab aggregation and the scoring join both re-reference it, so the
+    tokenize + explode otherwise runs twice over the corpus."""
     toks = docs.select(
         F.col(id_col),
         F.explode(textstats.tokens_col(F.col(text_col))).alias("tok"),
     )
+    if materialize:
+        toks = toks.localCheckpoint()
     vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
     # grand total: 1-row aggregate, broadcast onto the vocab (never a
     # driver collect in the plan; ANSI-safe double accumulation)

@@ -216,7 +216,7 @@ FROM _jac WHERE common >= {t} * un
 # --- per-doc duplicated-n-gram fraction ------------------------------------
 
 
-def dup_shingle_stats(sets: DataFrame) -> DataFrame:
+def dup_shingle_stats(sets: DataFrame, materialize: bool = False) -> DataFrame:
     """(id, n_shingles, n_dup_shingles, dup_frac): per-doc share of its
     DISTINCT k-shingles that occur in >= 2 corpus documents — the
     cross-document n-gram novelty signal a curation run thresholds on
@@ -234,6 +234,10 @@ def dup_shingle_stats(sets: DataFrame) -> DataFrame:
     the hot gram's postings through one task with a tiny build side,
     and AQE skew-join can split it."""
     ex = sets.select("id", F.explode("shingle_set").alias("g"))
+    if materialize:
+        # the df count and the join-back both re-reference the postings —
+        # unpinned, the shingle kernel runs twice (invocation-scoped pin)
+        ex = ex.localCheckpoint()
     dfc = ex.groupBy("g").agg(F.count("*").alias("df"))
     return (
         ex.join(dfc, "g")
