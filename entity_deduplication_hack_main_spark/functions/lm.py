@@ -118,6 +118,8 @@ def perplexity_buckets(
     cuts = sorted(
         scored.approxQuantile("mean_logprob", qs, 1.0e-4), reverse=True
     )
+    if not cuts:  # empty input: approxQuantile returns [] (r05 advice)
+        return scored.withColumn("ppl_bucket", F.lit(1))
     # cuts descending: cuts[0] gates bucket 1 (the head slice)
     expr = F.lit(n_buckets)
     for i in range(n_buckets - 1, 0, -1):

@@ -249,14 +249,19 @@ def cluster_representatives(
         docs.select(F.col(id_col).alias("_rid"), F.col(order_col).alias("_ord")),
         assignments["node"] == F.col("_rid"),
     )
+    # id-type-agnostic tie-break (r05 advice): the order column is always
+    # numeric, so negate IT and take min(struct) — highest _ord wins,
+    # lowest id on ties — instead of negating the id, which crashed under
+    # ANSI for string ids (streaming uses URLs as ids; run_dedup exposes
+    # --id-col). Identical pick to the previous max(struct(ord, -id)).
     grp = j.groupBy("cluster_id").agg(
-        F.max(F.struct(F.col("_ord"), (-F.col("_rid")).alias("_neg"))).alias(
-            "_best"
-        ),
+        F.min(
+            F.struct((-F.col("_ord")).alias("_no"), F.col("_rid").alias("_rid"))
+        ).alias("_best"),
         F.count("*").alias("n_members"),
     )
     return grp.select(
-        (-F.col("_best._neg")).alias(id_col), "cluster_id", "n_members"
+        F.col("_best._rid").alias(id_col), "cluster_id", "n_members"
     )
 
 

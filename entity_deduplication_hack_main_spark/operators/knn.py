@@ -98,8 +98,7 @@ def brute_force_knn_matmul(
     import pandas as pd
     from collections.abc import Iterator
 
-    _guard_probe_count(probes)
-    rows = probes.select(id_col, vec_col).collect()
+    rows = _collect_probes_guarded(probes.select(id_col, vec_col))
     probe_ids = np.array([r[0] for r in rows], dtype=np.int64)
     pm = np.array([r[1] for r in rows], dtype=np.float64)
     pm /= np.maximum(np.linalg.norm(pm, axis=1, keepdims=True), 1e-300)
@@ -157,17 +156,21 @@ def brute_force_knn_matmul(
 MAX_COLLECTED_PROBES = 500_000
 
 
-def _guard_probe_count(probes: DataFrame, cap: int | None = None) -> None:
-    """limit-probe before collecting (the cluster.py:98 pattern): count at
-    most cap+1 rows so an over-cap input never materializes on the driver."""
+def _collect_probes_guarded(df: DataFrame, cap: int | None = None) -> list:
+    """Guarded driver collect (the cluster.py:98 limit-probe idea, folded
+    into the collect itself — one job, not a count probe plus a collect):
+    at most cap+1 rows ever materialize on the driver; an over-cap input
+    raises with direction instead of silently OOMing."""
     if cap is None:
         cap = MAX_COLLECTED_PROBES  # read at call time (testable)
-    if probes.limit(cap + 1).count() > cap:
+    rows = df.limit(cap + 1).collect()
+    if len(rows) > cap:
         raise ValueError(
             f"probe side exceeds {cap} rows — the matmul paths collect "
             "probes to the driver; use ivf_knn/lsh_bucketed_knn with a "
             "distributed probe join for probe sets this large"
         )
+    return rows
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
@@ -576,8 +579,9 @@ def ivf_knn_matmul(
       sides (parity with the oracle's HALF_UP rounding — numpy's
       banker's rounding must never decide a cell);
     - probe cells are computed by the same JVM slice expression and
-      collected (probes are small by contract — :func:`_guard_probe_count`
-      enforces it) into one normalized matrix;
+      collected (probes are small by contract —
+      :func:`_collect_probes_guarded` enforces it) into one normalized
+      matrix;
     - each corpus Arrow batch contributes, per probed cell, its per-probe
       top-(k+1) candidates by matmul with a 2e-6 tie margin (every row
       that could ROUND into the k-th slot survives — the r03-proven
@@ -592,7 +596,6 @@ def ivf_knn_matmul(
     if anchors is None:
         anchors = ivf_anchors(dim, n_cells, seed)
     n_cells = len(anchors)
-    _guard_probe_count(probes)
     pv = probes.select(
         F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pv")
     )
@@ -613,7 +616,12 @@ def ivf_knn_matmul(
     vecs: list = []
     index_of: dict = {}
     cell_lists: dict[int, list[int]] = {}
-    for r in p_cells.collect():
+    # nprobe rows per probe — the probe cap scales accordingly, and the
+    # guarded collect (one job) bounds driver materialization
+    nprobe_eff = min(nprobe, n_cells)
+    for r in _collect_probes_guarded(
+        p_cells, cap=MAX_COLLECTED_PROBES * nprobe_eff
+    ):
         pid = r["probe_id"]
         if pid not in index_of:
             index_of[pid] = len(probe_ids_list)

@@ -103,6 +103,55 @@ def test_ivf_knn_matmul_equals_expression(spark, sf001):
     assert exact == fast and len(exact) > 0
 
 
+# --- r05 ADVICE correctness fixes (the round brief's carve-out) ----------
+
+
+def test_cluster_representatives_string_ids(spark):
+    """r05 advice (medium): the representative tie-break negated the id
+    column — CAST_INVALID_INPUT under ANSI for string ids (streaming uses
+    URLs as ids). Now min(struct(-ord, id)): same pick, any orderable id."""
+    from entity_deduplication_hack_main_spark.operators import cluster as cc
+
+    asn = spark.createDataFrame(
+        [("u1", "c"), ("u2", "c"), ("u3", "c")], "node string, cluster_id string"
+    )
+    docs = spark.createDataFrame(
+        [("u1", 5), ("u2", 9), ("u3", 9)], "doc_id string, n_chars int"
+    )
+    rows = cc.cluster_representatives(asn, docs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # longest wins (9), lowest id on ties (u2), full membership counted
+    assert r["doc_id"] == "u2" and r["n_members"] == 3
+
+
+def test_pipeline_pii_redact_string_ids(spark, tmp_path):
+    """End-to-end guard for the advice scenario: pii_redact stage over a
+    string-id corpus must not raise."""
+    from entity_deduplication_hack_main_spark.config import DedupConfig
+    from entity_deduplication_hack_main_spark.plans.pipeline import run_pipeline
+
+    docs = spark.createDataFrame(
+        [(f"u{i}", "alpha beta gamma delta epsilon zeta " * 8 + str(i % 3))
+         for i in range(12)],
+        "doc_id string, text string",
+    )
+    res = run_pipeline(spark, docs, DedupConfig(), pii_redact=True)
+    out = res.redacted.collect()  # raised CAST_INVALID_INPUT before
+    assert 0 < len(out) <= 12
+
+
+def test_perplexity_buckets_empty_input(spark):
+    """r05 advice (low): approxQuantile on an empty frame returns [] —
+    bucket assignment must yield an empty result, not IndexError."""
+    from entity_deduplication_hack_main_spark.functions import lm as lm_fn
+
+    empty = spark.createDataFrame(
+        [], "doc_id bigint, n_tokens bigint, mean_logprob double"
+    )
+    assert lm_fn.perplexity_buckets(empty).count() == 0
+
+
 def test_matmul_probe_guard_raises(spark, sf001, monkeypatch):
     monkeypatch.setattr(knn, "MAX_COLLECTED_PROBES", 10)
     emb = spark.read.parquet(f"{sf001}/embeddings.parquet")
